@@ -1,0 +1,451 @@
+"""Cardinality and joint (two-set) estimators for the sketch family.
+
+Numpy re-implementations of the reference's estimator classes:
+
+- ``SetSketchEstimator``  <- /root/reference/c++/sketch.hpp:148-720
+  (simple cardinality with sigma/tau range corrections, ML cardinality via
+  root solve, inclusion-exclusion joint, "new" joint ML via bounded Brent,
+  equal-register Jaccard lower/upper bounds)
+- ``MinHashJointEstimator`` <- sketch.hpp:1374-1544
+  (closed-form cardinality, original/new/incl-excl joint estimators)
+- ``joint_from_jaccard`` <- JointEstimationResult algebra, sketch.hpp:67-146
+
+Estimate-returning functions are vectorized over batches of register rows;
+the scalar ML solves run per row/pair (they are only applied to candidate
+pairs that survive the vectorized pre-filters — SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+
+from .hashing import U64
+from .minhash import minhash_cardinality
+from .solvers import brentq, minimize_bounded
+
+
+def x_div_expm1(x):
+    """x / (e^x - 1), continuous at 0 (sketch.hpp:52-55)."""
+    x = np.asarray(x, dtype=np.float64)
+    with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
+        out = np.where(x != 0.0, x / np.expm1(x), 1.0)
+    return out
+
+
+def expm1_div_x(x):
+    x = np.asarray(x, dtype=np.float64)
+    return np.where(x != 0.0, np.expm1(x) / np.where(x != 0, x, 1.0), 1.0)
+
+
+def log1p_div_x(x):
+    x = np.asarray(x, dtype=np.float64)
+    return np.where(x != 0.0, np.log1p(x) / np.where(x != 0, x, 1.0), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# JointEstimationResult algebra (sketch.hpp:67-146), vectorized
+# ---------------------------------------------------------------------------
+
+def joint_from_jaccard(card1, card2, jaccard) -> dict[str, np.ndarray]:
+    """createFromCardinalitiesAndJaccardSimilarity (sketch.hpp:111-123).
+
+    Trims jaccard into the feasible band [0, min(c1/c2, c2/c1)] then derives
+    all joint quantities.  Returns a dict of float64 arrays.
+    """
+    c1 = np.asarray(card1, dtype=np.float64)
+    c2 = np.asarray(card2, dtype=np.float64)
+    j = np.asarray(jaccard, dtype=np.float64)
+    c1, c2, j = np.atleast_1d(*np.broadcast_arrays(c1, c2, j))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        upper = np.minimum(c1 / np.where(c2 > 0, c2, np.inf),
+                           c2 / np.where(c1 > 0, c1, np.inf))
+    upper = np.where((c1 == 0) & (c2 == 0), 0.0, upper)
+    t = np.clip(j, 0.0, upper)
+    y = 1.0 / (1.0 + t)
+    d1 = np.maximum(0.0, c1 - c2 * t) * y
+    d2 = np.maximum(0.0, c2 - c1 * t) * y
+    inter = (c1 + c2) * t * y
+    return _joint_result(d1, d2, inter)
+
+
+def joint_from_union(card1, card2, card_union) -> dict[str, np.ndarray]:
+    """createFromCardinalitiesAndUnion (sketch.hpp:125-130)."""
+    c1 = np.asarray(card1, dtype=np.float64)
+    c2 = np.asarray(card2, dtype=np.float64)
+    u = np.asarray(card_union, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = (c1 + c2 - u) / u
+    j = np.where(u > 0, j, 0.0)
+    return joint_from_jaccard(c1, c2, j)
+
+
+def _joint_result(d1, d2, inter) -> dict[str, np.ndarray]:
+    union = d1 + d2 + inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = np.where(inter > 0, inter / union, 0.0)
+        cos = np.where(inter > 0, inter / np.sqrt((d1 + inter) * (d2 + inter)), 0.0)
+        inc1 = np.where(inter > 0, inter / (d1 + inter), 0.0)
+        inc2 = np.where(inter > 0, inter / (d2 + inter), 0.0)
+        alpha = np.where(d1 > 0, d1 / union, 0.0)
+        beta = np.where(d2 > 0, d2 / union, 0.0)
+    return {
+        "difference1": d1,
+        "difference2": d2,
+        "intersection": inter,
+        "union": union,
+        "jaccard": jac,
+        "cosine": cos,
+        "inclusion1": inc1,
+        "inclusion2": inc2,
+        "alpha": alpha,
+        "beta": beta,
+    }
+
+
+# ---------------------------------------------------------------------------
+# SetSketch / GHLL estimator
+# ---------------------------------------------------------------------------
+
+class SetSketchEstimator:
+    """Vectorized port of the reference SetSketchEstimator semantics
+    (sketch.hpp:288-720).  Constructor flags follow the reference configs:
+    GHLL/HLL use (card_corr=True, joint_corr=False, fallback=False)
+    (sketch.hpp:925); SetSketch1/2 use all-False (sketch.hpp:1111)."""
+
+    def __init__(
+        self,
+        q: int,
+        a: float,
+        base: float,
+        num_registers: int,
+        card_range_correction: bool = False,
+        joint_range_correction: bool = False,
+        joint_fallback: bool = False,
+    ):
+        self.q = int(q)
+        self.a = float(a)
+        self.base = float(base)
+        self.m = int(num_registers)
+        self.card_range_correction = card_range_correction
+        self.joint_range_correction = joint_range_correction
+        self.joint_fallback = joint_fallback
+
+        self.log_base = math.log(self.base)
+        self.base_inverse = 1.0 / self.base
+        # baseInversePowers[k] = b^-k for k in 0..q+1 (sketch.hpp:307-309)
+        self.base_inverse_powers = self.base ** (-np.arange(self.q + 2, dtype=np.float64))
+        # factor = m / (b * log1p(b-1)/(b-1) * a) (sketch.hpp:294-295)
+        self.factor = self.m / (self.base * (math.log1p(self.base - 1.0) / (self.base - 1.0)) * self.a)
+        if card_range_correction:
+            frac = np.arange(self.m + 1, dtype=np.float64) / self.m
+            # sigmaValues[i] = m*sigma(i/m); tauValues[i] = m*b^-q*tau((m-i)/m)
+            self.sigma_values = self.m * _sigma_vec(frac, self.base)
+            self.tau_values = self.m * self.base_inverse_powers[self.q] * _tau_vec(frac[::-1].copy(), self.base)
+        else:
+            self.sigma_values = None
+            self.tau_values = None
+
+    # -- cardinality ------------------------------------------------------
+
+    def cardinality_simple(self, states: np.ndarray) -> np.ndarray:
+        """estimateCardinalitySimple (sketch.hpp:320-338), rows = sketches."""
+        st = np.atleast_2d(np.asarray(states)).astype(np.int64)
+        bip = self.base_inverse_powers[st]
+        if self.card_range_correction:
+            is_min = st == 0
+            is_max = st > self.q
+            sums = np.where(is_min | is_max, 0.0, bip).sum(axis=1)
+            n_min = is_min.sum(axis=1)
+            n_max = is_max.sum(axis=1)
+            sums = sums + self.sigma_values[n_min] + self.tau_values[n_max]
+        else:
+            sums = bip.sum(axis=1)
+        with np.errstate(divide="ignore"):
+            return self.factor / sums
+
+    def cardinality_ml(self, states: np.ndarray) -> np.ndarray:
+        """estimateCardinalityML (sketch.hpp:341-381): per-row root solve over
+        the register-value histogram (histogram compaction keeps the solve
+        O(q) instead of O(m))."""
+        st = np.atleast_2d(np.asarray(states)).astype(np.int64)
+        out = np.empty(st.shape[0], dtype=np.float64)
+        for i in range(st.shape[0]):
+            out[i] = self._cardinality_ml_one(st[i])
+        return out
+
+    def _cardinality_ml_one(self, state: np.ndarray) -> float:
+        hist = np.bincount(state, minlength=self.q + 2).astype(np.float64)
+        vals = np.nonzero(hist)[0]
+        freqs = hist[vals]
+        corr = self.card_range_correction
+        count0 = float(hist[0]) if corr else 0.0
+        if corr and count0 == self.m:
+            return 0.0
+        if corr and hist[self.q + 1] == self.m:
+            return math.inf
+        in_z = vals <= self.q if corr else np.ones_like(vals, dtype=bool)
+        z = float(np.sum(freqs[in_z] * self.base_inverse_powers[vals[in_z]])) * self.a
+
+        # y-term classification (sketch.hpp:367-374)
+        if corr:
+            y_max_mask = vals == self.q + 1
+            y_reg_mask = (vals > 0) & (vals <= self.q)
+        else:
+            y_max_mask = np.zeros_like(vals, dtype=bool)
+            y_reg_mask = np.ones_like(vals, dtype=bool)
+        f_max = freqs[y_max_mask]
+        f_reg = freqs[y_reg_mask]
+        bip_reg = self.base_inverse_powers[vals[y_reg_mask]]
+        bip_q = self.base_inverse_powers[self.q]
+        a = self.a
+        bm1 = self.base - 1.0
+
+        def f(n: float) -> float:
+            na = n * a
+            y = float(np.sum(f_max * x_div_expm1(na * bip_q)))
+            y += float(np.sum(f_reg * x_div_expm1(na * bm1 * bip_reg)))
+            return y - n * z
+
+        if z <= 0.0:
+            return math.inf
+        upper = (self.m - count0) / z
+        if upper <= 0.0:
+            return 0.0
+        # f(0) > 0 always; widen the bracket if rounding left f(upper) > 0
+        for _ in range(8):
+            if f(upper) <= 0.0:
+                break
+            upper *= 2.0
+        else:
+            return upper
+        return brentq(f, 0.0, upper, rtol=1e-9)
+
+    # -- register comparison ----------------------------------------------
+
+    def compare_registers(self, s1: np.ndarray, s2: np.ndarray):
+        """Counts (#1<2, #1>2, #both==0, #both==q+1, #equal) per row
+        (sketch.hpp:644-667)."""
+        a1 = np.atleast_2d(np.asarray(s1)).astype(np.int64)
+        a2 = np.atleast_2d(np.asarray(s2)).astype(np.int64)
+        less = (a1 < a2).sum(axis=1)
+        greater = (a1 > a2).sum(axis=1)
+        eq = a1 == a2
+        both_min = (eq & (a1 == 0)).sum(axis=1)
+        both_max = (eq & (a1 == self.q + 1)).sum(axis=1)
+        return less, greater, both_min, both_max, eq.sum(axis=1)
+
+    # -- joint estimators --------------------------------------------------
+
+    def joint_incl_excl(self, s1: np.ndarray, s2: np.ndarray, card1=None, card2=None):
+        """estimateJointInclExcl[WithKnownSetCardinalities]
+        (sketch.hpp:391-410): union = element-wise max."""
+        a1 = np.atleast_2d(np.asarray(s1))
+        a2 = np.atleast_2d(np.asarray(s2))
+        c1 = self.cardinality_simple(a1) if card1 is None else np.asarray(card1, dtype=np.float64)
+        c2 = self.cardinality_simple(a2) if card2 is None else np.asarray(card2, dtype=np.float64)
+        cu = self.cardinality_simple(np.maximum(a1, a2))
+        return joint_from_union(c1, c2, cu)
+
+    def _joint_new_one(self, n_less: int, n_greater: int, c1: float, c2: float) -> float:
+        """estimateJointNew likelihood solve (sketch.hpp:484-522) -> jaccard."""
+        n_eq = self.m - n_less - n_greater
+        if c1 == 0.0 and c2 == 0.0:
+            return 0.0
+        z = (1.0 - self.base_inverse) / (c1 + c2)
+        dmax = c2 / c1 if c1 >= c2 else c1 / c2
+        ilb = 1.0 / self.log_base
+
+        def neg_loglik(j: float) -> float:
+            # the reference maps NaN (domain-boundary rounding) to +inf so the
+            # minimizer can proceed (sketch.hpp:510-513); Python raises where
+            # C++ returns NaN/-inf, so catch and map identically
+            l1 = l2 = 0.0
+            if n_eq > 0 or n_greater > 0:
+                arg = (c2 * j - c1) * z
+                if arg <= -1.0:
+                    return math.inf
+                l1 = ilb * math.log1p(arg)
+            if n_eq > 0 or n_less > 0:
+                arg = (c1 * j - c2) * z
+                if arg <= -1.0:
+                    return math.inf
+                l2 = ilb * math.log1p(arg)
+            ret = 0.0
+            try:
+                if n_eq > 0:
+                    ret += n_eq * math.log1p(l1 + l2)
+                if n_greater > 0:
+                    ret += n_greater * math.log(-l1)
+                if n_less > 0:
+                    ret += n_less * math.log(-l2)
+            except ValueError:  # log of <=0 at domain boundary
+                return math.inf
+            if math.isnan(ret):
+                return math.inf
+            return -ret
+
+        if dmax <= 0.0:
+            return 0.0
+        return minimize_bounded(neg_loglik, 0.0, dmax)
+
+    def joint_new(self, s1: np.ndarray, s2: np.ndarray, card1=None, card2=None):
+        """estimateJointNewWithKnownSetCardinalities (sketch.hpp:642-678).
+
+        GHLL/SetSketch configs in the reference run with
+        joint_range_correction=False and joint_fallback=False, so extreme
+        registers fall through to the plain ML solve; we implement the
+        fallback path too for completeness."""
+        a1 = np.atleast_2d(np.asarray(s1))
+        a2 = np.atleast_2d(np.asarray(s2))
+        c1 = self.cardinality_simple(a1) if card1 is None else np.atleast_1d(np.asarray(card1, dtype=np.float64))
+        c2 = self.cardinality_simple(a2) if card2 is None else np.atleast_1d(np.asarray(card2, dtype=np.float64))
+        less, greater, both_min, both_max, _ = self.compare_registers(a1, a2)
+        jac = np.empty(a1.shape[0], dtype=np.float64)
+        fallback_rows = []
+        for i in range(a1.shape[0]):
+            if (both_min[i] > 0 or both_max[i] > 0) and self.joint_fallback:
+                fallback_rows.append(i)
+                jac[i] = np.nan
+            else:
+                jac[i] = self._joint_new_one(int(less[i]), int(greater[i]), float(c1[i]), float(c2[i]))
+        result = joint_from_jaccard(c1, c2, jac)
+        if fallback_rows:
+            idx = np.asarray(fallback_rows)
+            fb = self.joint_incl_excl(a1[idx], a2[idx], c1[idx], c2[idx])
+            for k in result:
+                result[k][idx] = fb[k]
+        return result
+
+    def jaccard_bounds_equal_registers(self, s1: np.ndarray, s2: np.ndarray):
+        """estimateJaccardSimilarityUsingEqualRegisters (sketch.hpp:701-719):
+        closed-form lower/upper Jaccard bounds from the equal-register
+        fraction — the vectorized LSH pre-filter."""
+        a1 = np.atleast_2d(np.asarray(s1))
+        a2 = np.atleast_2d(np.asarray(s2))
+        g = (a1 == a2).sum(axis=1) / float(self.m)
+        h = (g + 1.0) * 0.5
+        lb_term = log1p_div_x(self.base - 1.0)
+        lower = np.maximum(0.0, 2.0 * (expm1_div_x(self.log_base * h) * lb_term * h) - 1.0)
+        upper = expm1_div_x(self.log_base * g) * lb_term * g
+        return lower, upper
+
+
+def _sigma_vec(x: np.ndarray, base: float) -> np.ndarray:
+    """sigma series (sketch.hpp:246-266), vectorized over x in [0,1].
+    Endpoints are handled directly (x=0 -> 0, x=1 -> inf); the series loop
+    runs only on interior points and is a straight vectorization of the
+    reference's convergence loop."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.empty_like(x)
+    out[x == 0.0] = 0.0
+    out[x == 1.0] = np.inf
+    interior = (x > 0.0) & (x < 1.0)
+    xi = x[interior]
+    sums = np.zeros_like(xi)
+    xbk = xi.copy()
+    bkm1 = 1.0
+    with np.errstate(over="ignore", invalid="ignore"):
+        for _ in range(200_000):
+            old = sums.copy()
+            xbk = xbk**base
+            sums = sums + xbk * bkm1
+            bkm1 *= base
+            if np.all(sums == old):
+                break
+    out[interior] = xi + (base - 1.0) * sums
+    return out
+
+
+def _tau_vec(x: np.ndarray, base: float) -> np.ndarray:
+    """tau series (sketch.hpp:268-284), vectorized over x in [0,1]."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.empty_like(x)
+    out[(x == 0.0) | (x == 1.0)] = 0.0
+    interior = (x > 0.0) & (x < 1.0)
+    xi = x[interior]
+    base_inverse = 1.0 / base
+    sums = np.zeros_like(xi)
+    xbmk = xi.copy()
+    bmk = base_inverse
+    for _ in range(200_000):
+        old = sums.copy()
+        sums = sums + (xbmk - 1.0) * bmk
+        if np.all(sums == old):
+            break
+        xbmk = xbmk**base_inverse
+        bmk *= base_inverse
+    out[interior] = (1.0 - xi) + (base - 1.0) * sums
+    return out
+
+
+@lru_cache(maxsize=16)
+def get_setsketch_estimator(
+    q: int, a: float, base: float, m: int,
+    card_corr: bool, joint_corr: bool, fallback: bool,
+) -> SetSketchEstimator:
+    """Process-level estimator cache: sigma/tau tables are built once per
+    executor per config (the reference precomputes them in the config ctor,
+    sketch.hpp:307-316)."""
+    return SetSketchEstimator(q, a, base, m, card_corr, joint_corr, fallback)
+
+
+# ---------------------------------------------------------------------------
+# MinHash joint estimators (sketch.hpp:1374-1544)
+# ---------------------------------------------------------------------------
+
+class MinHashJointEstimator:
+    def __init__(self, num_registers: int):
+        self.m = int(num_registers)
+
+    def cardinality(self, states: np.ndarray) -> np.ndarray:
+        return minhash_cardinality(states)
+
+    def joint_original(self, s1: np.ndarray, s2: np.ndarray, card1=None, card2=None):
+        """estimateJointOriginal (sketch.hpp:1452-1461): jaccard = fraction
+        of equal registers.  Fully vectorized — the pipeline's default
+        verification estimator."""
+        a1 = np.atleast_2d(np.asarray(s1, dtype=U64))
+        a2 = np.atleast_2d(np.asarray(s2, dtype=U64))
+        c1 = self.cardinality(a1) if card1 is None else np.asarray(card1, dtype=np.float64)
+        c2 = self.cardinality(a2) if card2 is None else np.asarray(card2, dtype=np.float64)
+        jac = (a1 == a2).sum(axis=1) / float(self.m)
+        return joint_from_jaccard(c1, c2, jac)
+
+    def jaccard_equal_registers(self, s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
+        a1 = np.atleast_2d(np.asarray(s1, dtype=U64))
+        a2 = np.atleast_2d(np.asarray(s2, dtype=U64))
+        return (a1 == a2).sum(axis=1) / float(self.m)
+
+    def joint_new(self, s1: np.ndarray, s2: np.ndarray, card1=None, card2=None):
+        """estimateJointNewWithKnownSetCardinalities (sketch.hpp:1475-1503):
+        closed-form ML — vectorized."""
+        a1 = np.atleast_2d(np.asarray(s1, dtype=U64))
+        a2 = np.atleast_2d(np.asarray(s2, dtype=U64))
+        c1 = self.cardinality(a1) if card1 is None else np.asarray(card1, dtype=np.float64)
+        c2 = self.cardinality(a2) if card2 is None else np.asarray(card2, dtype=np.float64)
+        dp = (a1 < a2).sum(axis=1).astype(np.float64)
+        dm = (a1 > a2).sum(axis=1).astype(np.float64)
+        d0 = self.m - dp - dm
+        na2 = c1 * c1
+        nb2 = c2 * c2
+        xa = na2 * (d0 + dm)
+        xb = nb2 * (d0 + dp)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = (xa + xb - np.sqrt((xa - xb) ** 2 + 4.0 * dp * dm * na2 * nb2)) / (
+                2.0 * self.m * c1 * c2
+            )
+        jac = np.clip(np.where(np.isfinite(jac), jac, 0.0), 0.0, 1.0)
+        return joint_from_jaccard(c1, c2, jac)
+
+    def joint_incl_excl(self, s1: np.ndarray, s2: np.ndarray, card1=None, card2=None):
+        """estimateJointInclExcl (sketch.hpp:1414-1427): union state =
+        element-wise min."""
+        a1 = np.atleast_2d(np.asarray(s1, dtype=U64))
+        a2 = np.atleast_2d(np.asarray(s2, dtype=U64))
+        c1 = self.cardinality(a1) if card1 is None else np.asarray(card1, dtype=np.float64)
+        c2 = self.cardinality(a2) if card2 is None else np.asarray(card2, dtype=np.float64)
+        cu = self.cardinality(np.minimum(a1, a2))
+        return joint_from_union(c1, c2, cu)

@@ -1,0 +1,106 @@
+"""MinHash kernels (vectorized numpy).
+
+Semantics follow /root/reference/c++/sketch.hpp:1579-1612: m 64-bit
+registers initialized to UINT64_MAX, per element each register takes
+min(state, h_j(element)); merge is element-wise min.  The reference draws
+h_j from a per-element wyrand stream; we use h_j(e) = splitmix64(e ^ key_j)
+with fixed per-register keys (statistically equivalent, and identical
+between pipeline and oracle — SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import U64, derive_keys, splitmix64
+
+_LOG2_64 = np.log(2.0) * 64.0
+
+# cap the scratch matrix at ~64 MB regardless of batch shape
+_CHUNK_BUDGET = 8_000_000
+
+
+def minhash_signature(elements: np.ndarray, m: int, seed: int) -> np.ndarray:
+    """Signature of one element set -> uint64 array of shape (m,)."""
+    values = np.asarray(elements, dtype=U64)
+    sig, _ = minhash_signatures_batch(values, np.array([0, len(values)]), m, seed)
+    return sig[0]
+
+
+def minhash_signatures_batch(
+    values: np.ndarray, offsets: np.ndarray, m: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Signatures for a batch of sets in flat (values, offsets) layout.
+
+    Returns (signatures uint64 (rows, m), set_sizes int64 (rows,)).
+    Empty sets keep all registers at UINT64_MAX (same as the reference's
+    untouched state).
+    """
+    rows = len(offsets) - 1
+    keys = derive_keys(seed, m)
+    sigs = np.full((rows, m), np.iinfo(np.uint64).max, dtype=U64)
+    sizes = np.diff(offsets).astype(np.int64)
+    if len(values) == 0:
+        return sigs, sizes
+    nonempty = sizes > 0
+    starts = offsets[:-1][nonempty]
+    # reduceat needs strictly valid segment starts; handle empties via mask
+    reg_chunk = max(1, _CHUNK_BUDGET // max(1, len(values)))
+    vals = np.asarray(values, dtype=U64)
+    for c0 in range(0, m, reg_chunk):
+        c1 = min(m, c0 + reg_chunk)
+        # (n_values, chunk) hash matrix: h_j(e) = splitmix64(e ^ key_j)
+        h = splitmix64(vals[:, None] ^ keys[None, c0:c1])
+        mins = np.minimum.reduceat(h, starts, axis=0)
+        sigs[nonempty, c0:c1] = mins
+    return sigs, sizes
+
+
+def merge_minhash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise min merge (sketch.hpp:1599-1603)."""
+    return np.minimum(np.asarray(a, dtype=U64), np.asarray(b, dtype=U64))
+
+
+def minhash_cardinality(states: np.ndarray) -> np.ndarray:
+    """MinHash cardinality estimator (sketch.hpp:1383-1389):
+    m / sum_j (64*ln2 - ln(~r_j)).  Vectorized over rows.
+    """
+    st = np.atleast_2d(np.asarray(states, dtype=U64))
+    m = st.shape[1]
+    inv = (~st).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        terms = _LOG2_64 - np.log(inv)
+    s = np.sum(terms, axis=1)
+    with np.errstate(divide="ignore"):
+        out = m / s
+    return np.where(np.isinf(s), 0.0, out)
+
+
+def bbit_signature(sig: np.ndarray, bits: int = 8) -> np.ndarray:
+    """b-bit MinHash compaction: keep the low ``bits`` of each register.
+
+    Standard b-bit minwise hashing (Li & König); used to shrink LSH band
+    material.  Returns uint8/uint16 array.
+    """
+    mask = U64((1 << bits) - 1)
+    compact = np.asarray(sig, dtype=U64) & mask
+    return compact.astype(np.uint8 if bits <= 8 else np.uint16)
+
+
+def band_hashes(
+    sigs: np.ndarray, num_bands: int, rows_per_band: int, seed: int
+) -> np.ndarray:
+    """LSH band hashes: fold each band's registers into one 64-bit key.
+
+    sigs: (rows, m) with m == num_bands * rows_per_band.
+    Returns uint64 (rows, num_bands); band identity is carried by position.
+    """
+    s = np.atleast_2d(np.asarray(sigs, dtype=U64))
+    rows, m = s.shape
+    assert m == num_bands * rows_per_band, (m, num_bands, rows_per_band)
+    salts = derive_keys(seed ^ 0xBA9D5, num_bands)
+    folded = np.broadcast_to(salts, (rows, num_bands)).copy()
+    cube = s.reshape(rows, num_bands, rows_per_band)
+    for r in range(rows_per_band):
+        folded = splitmix64(folded ^ cube[:, :, r])
+    return folded

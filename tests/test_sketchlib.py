@@ -1,0 +1,159 @@
+"""Unit + property tests for the pure-numpy kernel layer.
+
+Models the reference's test strategy (SURVEY.md §5):
+- exact bulk/stream/merge equivalence  <- c++/bulk_update_test.cpp:86
+- merge commutative/associative/idempotent, insertion-order independence
+- ground-truth-by-construction joint fixtures <- joint_estimation_test.cpp:104-199
+"""
+
+import numpy as np
+import pytest
+
+from set_sketch_paper_spark.sketchlib import (
+    bbit_signature,
+    ghll_sketch,
+    ghll_sketches_batch,
+    merge_ghll,
+    merge_minhash,
+    merge_setsketch,
+    minhash_cardinality,
+    minhash_signature,
+    minhash_signatures_batch,
+    setsketch_sketch,
+    shingle_hashes,
+    splitmix64,
+    token_hashes,
+    tokenize,
+)
+from set_sketch_paper_spark.sketchlib.minhash import band_hashes
+from set_sketch_paper_spark.sketchlib.shingle import shingle_sets_batch
+
+from conftest import random_u64
+
+M = 256
+GQ, GB, GA = 62, 2.0, 20.0
+
+
+def split_chunks(rng, arr, n_chunks):
+    idx = np.sort(rng.choice(len(arr) - 1, size=n_chunks - 1, replace=False) + 1)
+    return np.split(arr, idx)
+
+
+@pytest.mark.parametrize("card", [1, 10, 100, 1000, 10_000])
+def test_minhash_merge_equals_union(rng, card):
+    """merge(sketch(chunk_i)) == sketch(all), any chunking (F4)."""
+    data = random_u64(rng, card)
+    full = minhash_signature(data, M, seed=1)
+    n_chunks = min(4, card)
+    chunks = split_chunks(rng, data, n_chunks) if n_chunks > 1 else [data]
+    partials = [minhash_signature(c, M, seed=1) for c in chunks]
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merge_minhash(merged, p)
+    assert np.array_equal(full, merged)
+
+
+def test_minhash_order_and_dup_invariance(rng):
+    data = random_u64(rng, 500)
+    sig = minhash_signature(data, M, seed=1)
+    assert np.array_equal(sig, minhash_signature(data[::-1], M, seed=1))
+    assert np.array_equal(sig, minhash_signature(np.tile(data, 3), M, seed=1))
+    # merge idempotent
+    assert np.array_equal(sig, merge_minhash(sig, sig))
+
+
+def test_minhash_batch_matches_single(rng):
+    sets = [random_u64(rng, n) for n in (5, 0, 100, 1)]
+    values = np.concatenate(sets)
+    offsets = np.cumsum([0] + [len(s) for s in sets])
+    sigs, sizes = minhash_signatures_batch(values, offsets, M, seed=9)
+    assert list(sizes) == [5, 0, 100, 1]
+    for i, s in enumerate(sets):
+        if len(s):
+            assert np.array_equal(sigs[i], minhash_signature(s, M, seed=9))
+        else:
+            assert np.all(sigs[i] == np.iinfo(np.uint64).max)
+
+
+@pytest.mark.parametrize("sketch,merge", [
+    (lambda d: ghll_sketch(d, M, GB, GQ, seed=3), merge_ghll),
+    (lambda d: setsketch_sketch(d, M, GB, GA, GQ, seed=4), merge_setsketch),
+])
+def test_registers_merge_equals_union(rng, sketch, merge):
+    data = random_u64(rng, 5000)
+    full = sketch(data)
+    chunks = split_chunks(rng, data, 5)
+    merged = sketch(chunks[0])
+    for c in chunks[1:]:
+        merged = merge(merged, sketch(c))
+    assert np.array_equal(full, merged)
+    assert np.array_equal(full, merge(full, full))  # idempotent
+    assert np.array_equal(full, sketch(data[rng.permutation(len(data))]))
+
+
+def test_ghll_batch_matches_single(rng):
+    sets = [random_u64(rng, n) for n in (7, 0, 300)]
+    values = np.concatenate(sets)
+    offsets = np.cumsum([0] + [len(s) for s in sets])
+    regs, sizes = ghll_sketches_batch(values, offsets, M, GB, GQ, seed=3)
+    for i, s in enumerate(sets):
+        expect = ghll_sketch(s, M, GB, GQ, seed=3) if len(s) else np.zeros(M, np.uint8)
+        assert np.array_equal(regs[i], expect)
+
+
+def test_minhash_cardinality_accuracy(rng):
+    for true in (100, 10_000):
+        data = random_u64(rng, true)
+        est = minhash_cardinality(minhash_signature(data, 1024, seed=1))[0]
+        assert abs(est - true) / true < 0.15  # ~3x theoretical sd 1/sqrt(m)
+
+
+def test_bbit_and_bands(rng):
+    data = random_u64(rng, 200)
+    sig = minhash_signature(data, 128, seed=1)
+    b = bbit_signature(sig, 8)
+    assert b.dtype == np.uint8 and b.shape == (128,)
+    bh = band_hashes(np.vstack([sig, sig]), 16, 8, seed=2)
+    assert bh.shape == (2, 16)
+    assert np.array_equal(bh[0], bh[1])
+    other = minhash_signature(random_u64(rng, 200), 128, seed=1)
+    bh2 = band_hashes(np.vstack([sig, other]), 16, 8, seed=2)
+    assert not np.array_equal(bh2[0], bh2[1])
+
+
+def test_splitmix_determinism():
+    x = np.arange(10, dtype=np.uint64)
+    a, b = splitmix64(x), splitmix64(x)
+    assert np.array_equal(a, b)
+    assert len(np.unique(a)) == 10  # bijective on sample
+
+
+def test_tokenize_and_shingles():
+    toks = tokenize("a b c d")
+    assert toks == ["a", "b", "c", "d"]
+    th = token_hashes(toks, seed=0)
+    assert len(th) == 4
+    # same token -> same hash
+    th2 = token_hashes(["a", "a"], seed=0)
+    assert th2[0] == th2[1] == th[0]
+    s3 = shingle_hashes(th, 3)
+    assert len(s3) == 2  # (a,b,c), (b,c,d)
+    # short text still yields one shingle
+    s_short = shingle_hashes(token_hashes(["x"], seed=0), 3)
+    assert len(s_short) == 1
+    # empty
+    assert len(shingle_hashes(token_hashes([], 0), 3)) == 0
+
+
+def test_shingle_batch_layout():
+    texts = ["a b c d e", "", "x y"]
+    values, offsets = shingle_sets_batch(texts, k=3)
+    assert offsets[0] == 0 and len(values) == offsets[-1]
+    assert offsets[2] - offsets[1] == 0  # empty text -> empty set
+    assert offsets[3] - offsets[2] == 1  # short text -> 1 shingle
+    # near-dup texts share most shingles
+    v1, _ = shingle_sets_batch(["the quick brown fox jumps over the lazy dog"], k=3)
+    v2, _ = shingle_sets_batch(["the quick brown fox leaps over the lazy dog"], k=3)
+    inter = len(np.intersect1d(v1, v2))
+    union = len(np.union1d(v1, v2))
+    assert 0.2 < inter / union < 0.8
