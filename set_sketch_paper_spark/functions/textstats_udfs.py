@@ -1,0 +1,89 @@
+"""Arrow-batched UDFs for text analysis that genuinely needs Python
+(simhash, winnowing fingerprints).  Everything expressible with built-in
+column functions lives in operators/textstats.py instead — UDFs are the slow
+path and are kept off it wherever possible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..config import ShingleConfig
+from ..sketchlib.hashing import u64_to_i64
+from ..sketchlib.shingle import shingle_sets_batch, token_hashes, tokenize
+
+
+def make_simhash_udf(sh: ShingleConfig):
+    """text -> 64-bit SimHash over token k-shingles (Charikar 2002).
+
+    Per batch: flat (values, offsets) shingle layout, then a vectorized
+    bit-vote: for each of 64 bits, sum +/-1 votes per document with
+    np.add.reduceat.
+    """
+
+    @F.pandas_udf(LongType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        values, offsets = shingle_sets_batch(
+            texts.tolist(), sh.k, sh.token_pattern, sh.lowercase, sh.seed
+        )
+        rows = len(offsets) - 1
+        out = np.zeros(rows, dtype=np.uint64)
+        if len(values):
+            sizes = np.diff(offsets)
+            nonempty = sizes > 0
+            starts = offsets[:-1][nonempty]
+            # votes: (n_values, 64) of {0,1}; reduceat sums per document
+            bits = (
+                values[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+            ) & np.uint64(1)
+            ones = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            majority = ones * 2 > sizes[nonempty, None]
+            packed = np.zeros(majority.shape[0], dtype=np.uint64)
+            for b in range(64):
+                packed |= majority[:, b].astype(np.uint64) << np.uint64(b)
+            out[nonempty] = packed
+        return pd.Series(u64_to_i64(out))
+
+    return _udf
+
+
+def make_winnow_fingerprint_udf(sh: ShingleConfig, window: int = 8):
+    """text -> array<long> winnowing fingerprints (Schleimer et al. 2003,
+    MOSS): the minimum shingle hash of every sliding window of ``window``
+    consecutive k-gram hashes, deduplicated.  Local document fingerprint for
+    exact-substring detection: two documents sharing a long verbatim block
+    share its window minima regardless of surrounding text."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts.tolist():
+            toks = tokenize(text or "", sh.token_pattern, sh.lowercase)
+            th = token_hashes(toks, sh.seed)
+            # positional (non-deduplicated) k-gram hashes
+            from ..sketchlib.shingle import _TOKEN_SALT
+            from ..sketchlib.hashing import splitmix64
+
+            n = len(th)
+            k = min(sh.k, n) if n else 0
+            if n == 0:
+                out.append([])
+                continue
+            s = th[: n - k + 1].copy()
+            for j in range(1, k):
+                s = splitmix64(s ^ _TOKEN_SALT) ^ th[j : n - k + 1 + j]
+            s = splitmix64(s)
+            if len(s) <= window:
+                mins = np.array([s.min()], dtype=np.uint64)
+            else:
+                from numpy.lib.stride_tricks import sliding_window_view
+
+                mins = sliding_window_view(s, window).min(axis=1)
+                mins = np.unique(mins)
+            out.append(list(u64_to_i64(np.unique(mins))))
+        return pd.Series(out)
+
+    return _udf

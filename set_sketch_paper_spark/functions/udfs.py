@@ -1,0 +1,259 @@
+"""Vectorized pandas/Arrow UDFs wrapping the numpy sketch kernels.
+
+Per BASELINE.json input_hint: no per-row Python UDFs anywhere — every UDF
+here is Arrow-batched (pandas_udf / applyInPandas), and all per-batch work is
+numpy on flat (values, offsets) arrays.  Content-level hashing that Spark can
+do JVM-side (sha2, xxhash64) is NOT done here — see operators/.
+
+Signature UDFs return a struct column so one pass over the content produces
+signature + LSH band hashes + shingle count together (tokenization is the
+expensive part; never run it twice).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..config import GHLLConfig, MinHashConfig, PipelineConfig, SetSketchConfig, ShingleConfig
+from ..sketchlib.estimators import (
+    MinHashJointEstimator,
+    get_setsketch_estimator,
+)
+from ..sketchlib.ghll import ghll_sketches_batch
+from ..sketchlib.hashing import u64_from_i64, u64_to_i64
+from ..sketchlib.minhash import band_hashes, minhash_cardinality, minhash_signatures_batch
+from ..sketchlib.setsketch import setsketches_batch
+from ..sketchlib.shingle import shingle_sets_batch
+
+SIGNATURE_STRUCT = StructType(
+    [
+        StructField("sig", ArrayType(LongType()), False),
+        StructField("bands", ArrayType(LongType()), False),
+        StructField("n_shingles", IntegerType(), False),
+    ]
+)
+
+
+def make_minhash_signature_udf(pcfg: PipelineConfig):
+    """content:string -> struct(sig array<long>, bands array<long>, n_shingles int).
+
+    uint64 registers cross the Arrow boundary bit-reinterpreted as int64
+    (SURVEY.md §7.3).
+    """
+    sh, mh, lsh = pcfg.shingle, pcfg.minhash, pcfg.lsh
+
+    @F.pandas_udf(SIGNATURE_STRUCT)
+    def _udf(content: pd.Series) -> pd.DataFrame:
+        values, offsets = shingle_sets_batch(
+            content.tolist(), sh.k, sh.token_pattern, sh.lowercase, sh.seed
+        )
+        sigs, sizes = minhash_signatures_batch(values, offsets, mh.num_registers, mh.seed)
+        bands = band_hashes(sigs, lsh.num_bands, lsh.rows_per_band, lsh.seed)
+        sig_i64 = u64_to_i64(sigs)
+        bands_i64 = u64_to_i64(bands)
+        return pd.DataFrame(
+            {
+                "sig": list(sig_i64),
+                "bands": list(bands_i64),
+                "n_shingles": sizes.astype(np.int32),
+            }
+        )
+
+    return _udf
+
+
+def make_register_sketch_udf(cfg, shingle_cfg: ShingleConfig):
+    """content:string -> binary register array (GHLL or SetSketch1).
+
+    The binary payload is the little-endian numpy buffer of uint8/uint16
+    registers (SURVEY.md §1.2 recommends BinaryType for register state).
+    """
+    is_ghll = isinstance(cfg, GHLLConfig)
+
+    @F.pandas_udf(BinaryType())
+    def _udf(content: pd.Series) -> pd.Series:
+        values, offsets = shingle_sets_batch(
+            content.tolist(), shingle_cfg.k, shingle_cfg.token_pattern,
+            shingle_cfg.lowercase, shingle_cfg.seed,
+        )
+        if is_ghll:
+            regs, _ = ghll_sketches_batch(
+                values, offsets, cfg.num_registers, cfg.base, cfg.q, cfg.seed
+            )
+        else:
+            regs, _ = setsketches_batch(
+                values, offsets, cfg.num_registers, cfg.base, cfg.a, cfg.q, cfg.seed
+            )
+        return pd.Series([r.tobytes() for r in regs])
+
+    return _udf
+
+
+def make_minhash_of_longs_udf(mh: MinHashConfig):
+    """elements:array<long> -> sig:array<long>.
+
+    For sketching pre-hashed element sets (e.g. user ids), the grouped
+    partial-aggregate path.
+    """
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(elements: pd.Series) -> pd.Series:
+        lists = [np.asarray(e if e is not None else [], dtype=np.int64) for e in elements]
+        values = u64_from_i64(np.concatenate(lists) if lists else np.empty(0, np.int64))
+        offsets = np.cumsum([0] + [len(x) for x in lists])
+        sigs, _ = minhash_signatures_batch(values, offsets, mh.num_registers, mh.seed)
+        return pd.Series(list(u64_to_i64(sigs)))
+
+    return _udf
+
+
+def make_ghll_of_longs_udf(cfg: GHLLConfig):
+    """elements:array<long> -> binary GHLL registers."""
+
+    @F.pandas_udf(BinaryType())
+    def _udf(elements: pd.Series) -> pd.Series:
+        lists = [np.asarray(e if e is not None else [], dtype=np.int64) for e in elements]
+        values = u64_from_i64(np.concatenate(lists) if lists else np.empty(0, np.int64))
+        offsets = np.cumsum([0] + [len(x) for x in lists])
+        regs, _ = ghll_sketches_batch(values, offsets, cfg.num_registers, cfg.base, cfg.q, cfg.seed)
+        return pd.Series([r.tobytes() for r in regs])
+
+    return _udf
+
+
+def make_merge_registers_udf(cfg):
+    """array-of-binary -> binary: element-wise max merge of register states
+    (sketch.hpp:876-881) — the *final* stage of the algebraic aggregate."""
+    dtype = np.dtype(cfg.dtype)
+
+    @F.pandas_udf(BinaryType())
+    def _udf(states: pd.Series) -> pd.Series:
+        out = []
+        for group in states:
+            arrs = [np.frombuffer(s, dtype=dtype) for s in group]
+            out.append(np.maximum.reduce(arrs).tobytes())
+        return pd.Series(out)
+
+    return _udf
+
+
+def make_merge_minhash_sigs_udf():
+    """array-of-array<long> -> array<long>: element-wise min merge."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(sigs: pd.Series) -> pd.Series:
+        out = []
+        for group in sigs:
+            arrs = [u64_from_i64(np.asarray(s, dtype=np.int64)) for s in group]
+            out.append(u64_to_i64(np.minimum.reduce(arrs)))
+        return pd.Series(out)
+
+    return _udf
+
+
+def make_minhash_cardinality_udf():
+    """sig:array<long> -> estimated set cardinality (sketch.hpp:1383-1389)."""
+
+    @F.pandas_udf(DoubleType())
+    def _udf(sigs: pd.Series) -> pd.Series:
+        mat = u64_from_i64(np.array([np.asarray(s, dtype=np.int64) for s in sigs]))
+        return pd.Series(minhash_cardinality(mat))
+
+    return _udf
+
+
+def make_register_cardinality_udf(cfg, use_ml: bool = False):
+    """binary registers -> estimated cardinality (sketch.hpp:320-381)."""
+    is_ghll = isinstance(cfg, GHLLConfig)
+    a = (1.0 / cfg.num_registers) if is_ghll else cfg.a
+    dtype = np.dtype(cfg.dtype)
+
+    @F.pandas_udf(DoubleType())
+    def _udf(states: pd.Series) -> pd.Series:
+        est = get_setsketch_estimator(
+            cfg.q, a, cfg.base, cfg.num_registers, is_ghll, False, False
+        )
+        mat = np.vstack([np.frombuffer(s, dtype=dtype) for s in states])
+        vals = est.cardinality_ml(mat) if use_ml else est.cardinality_simple(mat)
+        return pd.Series(vals)
+
+    return _udf
+
+
+PAIR_ESTIMATE_STRUCT = StructType(
+    [
+        StructField("est_jaccard", DoubleType(), False),
+        StructField("est_intersection", DoubleType(), False),
+        StructField("est_union", DoubleType(), False),
+        StructField("est_cosine", DoubleType(), False),
+    ]
+)
+
+
+def make_minhash_pair_estimator_udf(mh: MinHashConfig, method: str = "original"):
+    """(sig1, sig2) -> struct of joint estimates.
+
+    method: 'original' (equal-register fraction, sketch.hpp:1452-1461),
+    'new' (closed-form ML, sketch.hpp:1475-1503), or 'incl_excl'.
+    All fully vectorized across the Arrow batch.
+    """
+    est = MinHashJointEstimator(mh.num_registers)
+    fn = {"original": est.joint_original, "new": est.joint_new, "incl_excl": est.joint_incl_excl}[method]
+
+    @F.pandas_udf(PAIR_ESTIMATE_STRUCT)
+    def _udf(sig1: pd.Series, sig2: pd.Series) -> pd.DataFrame:
+        m1 = u64_from_i64(np.array([np.asarray(s, dtype=np.int64) for s in sig1]))
+        m2 = u64_from_i64(np.array([np.asarray(s, dtype=np.int64) for s in sig2]))
+        r = fn(m1, m2)
+        return pd.DataFrame(
+            {
+                "est_jaccard": r["jaccard"],
+                "est_intersection": r["intersection"],
+                "est_union": r["union"],
+                "est_cosine": r["cosine"],
+            }
+        )
+
+    return _udf
+
+
+def make_register_pair_estimator_udf(cfg, method: str = "new"):
+    """(bin1, bin2) -> struct of joint estimates for GHLL/SetSketch states.
+
+    method 'new' runs the per-pair ML solve (sketch.hpp:484-522) — scalar per
+    pair, so the pipeline applies it only after the vectorized equal-register
+    pre-filter (SURVEY.md §7.3).  method 'incl_excl' is fully vectorized.
+    """
+    is_ghll = isinstance(cfg, GHLLConfig)
+    a = (1.0 / cfg.num_registers) if is_ghll else cfg.a
+    dtype = np.dtype(cfg.dtype)
+
+    @F.pandas_udf(PAIR_ESTIMATE_STRUCT)
+    def _udf(st1: pd.Series, st2: pd.Series) -> pd.DataFrame:
+        est = get_setsketch_estimator(
+            cfg.q, a, cfg.base, cfg.num_registers, is_ghll, False, False
+        )
+        m1 = np.vstack([np.frombuffer(s, dtype=dtype) for s in st1])
+        m2 = np.vstack([np.frombuffer(s, dtype=dtype) for s in st2])
+        r = est.joint_new(m1, m2) if method == "new" else est.joint_incl_excl(m1, m2)
+        return pd.DataFrame(
+            {
+                "est_jaccard": r["jaccard"],
+                "est_intersection": r["intersection"],
+                "est_union": r["union"],
+                "est_cosine": r["cosine"],
+            }
+        )
+
+    return _udf

@@ -1,0 +1,208 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+Stage graph (all DataFrame ops; SURVEY.md §7.1 step 3-4):
+
+  input(repo,path,commit,lang,content)
+    -> identity: file_id = xxhash64(repo,path,commit), content_sha = sha2
+    -> exact dedup short-circuit: group by content_sha, keep min-id
+       representative (the 100TB win: byte-identical copies never reach the
+       sketch stage)
+    -> signatures: MinHash sig + LSH band hashes (narrow, one content pass)
+    -> LSH candidate pairs (bucket groupBy, band cap for hot-band skew)
+    -> verification join + vectorized joint estimate, threshold
+    -> edges = near-dup pairs ∪ exact-dup (member -> representative) edges
+    -> connected components -> cluster assignment for every input file
+
+Checkpointing / resume: each stage optionally persists to
+``<checkpoint_dir>/<stage>`` as parquet with a manifest JSON carrying the
+config hash, row count, timing and lineage; a resumed run with the same
+config hash reads the parquet instead of recomputing (north rule:
+"resumable from checkpoint with per-partition lineage + metrics").  A config
+change invalidates downstream checkpoints (mirrors the reference's merge
+precondition assert(config == other.config), sketch.hpp:1021).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import PipelineConfig
+from ..functions.udfs import make_minhash_pair_estimator_udf
+from ..operators import lsh as lsh_ops
+from ..operators.clustering import connected_components
+from ..operators.signatures import with_content_sha, with_file_id, with_minhash_signature
+
+
+@dataclass
+class StageMetrics:
+    name: str
+    rows: int
+    seconds: float
+    resumed: bool
+    num_partitions: int
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame
+    pairs: DataFrame
+    metrics: list[StageMetrics] = field(default_factory=list)
+
+
+class NearDupPipeline:
+    def __init__(self, pcfg: PipelineConfig, run_id: str = "run0"):
+        self.pcfg = pcfg
+        self.run_id = run_id
+        self.metrics: list[StageMetrics] = []
+
+    # -- checkpoint helpers -------------------------------------------------
+
+    def _stage_dir(self, stage: str) -> str | None:
+        if not self.pcfg.checkpoint_dir:
+            return None
+        return os.path.join(self.pcfg.checkpoint_dir, stage)
+
+    def _manifest_path(self, stage_dir: str) -> str:
+        return os.path.join(stage_dir, "_MANIFEST.json")
+
+    def _try_resume(self, spark: SparkSession, stage: str) -> DataFrame | None:
+        d = self._stage_dir(stage)
+        if not d or not os.path.exists(self._manifest_path(d)):
+            return None
+        with open(self._manifest_path(d)) as f:
+            manifest = json.load(f)
+        if manifest.get("config_hash") != self.pcfg.config_hash():
+            return None  # config changed -> checkpoint invalid
+        return spark.read.parquet(d)
+
+    def _checkpoint(self, df: DataFrame, stage: str, t0: float) -> DataFrame:
+        """Persist stage output + manifest; returns the materialized frame.
+
+        Lineage columns (_stage, _config_hash, _run_id) ride along in the
+        parquet so any downstream consumer can trace provenance; the manifest
+        records per-partition row counts (lineage + metrics requirement).
+        """
+        d = self._stage_dir(stage)
+        if not d:
+            out = df.localCheckpoint(eager=True)
+            self.metrics.append(
+                StageMetrics(stage, out.count(), time.time() - t0, False,
+                             out.rdd.getNumPartitions())
+            )
+            return out
+        annotated = (
+            df.withColumn("_stage", F.lit(stage))
+            .withColumn("_config_hash", F.lit(self.pcfg.config_hash()))
+            .withColumn("_run_id", F.lit(self.run_id))
+        )
+        annotated.write.mode("overwrite").parquet(d)
+        spark = df.sparkSession
+        out = spark.read.parquet(d)
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        rows = int(sum(r["count"] for r in per_part))
+        manifest = {
+            "stage": stage,
+            "run_id": self.run_id,
+            "config_hash": self.pcfg.config_hash(),
+            "rows": rows,
+            "partitions": {str(r["pid"]): r["count"] for r in per_part},
+            "seconds": time.time() - t0,
+        }
+        with open(self._manifest_path(d), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self.metrics.append(
+            StageMetrics(stage, rows, time.time() - t0, False, len(per_part))
+        )
+        return out.drop("_stage", "_config_hash", "_run_id")
+
+    def _stage(self, spark: SparkSession, name: str, build) -> DataFrame:
+        resumed = self._try_resume(spark, name)
+        if resumed is not None:
+            self.metrics.append(StageMetrics(name, -1, 0.0, True, resumed.rdd.getNumPartitions()))
+            return resumed.drop("_stage", "_config_hash", "_run_id")
+        t0 = time.time()
+        return self._checkpoint(build(), name, t0)
+
+    # -- pipeline -----------------------------------------------------------
+
+    def run(
+        self,
+        df: DataFrame,
+        id_cols=("repo", "path", "commit"),
+        content_col: str = "content",
+        verify_sha_against: str | None = None,
+    ) -> PipelineResult:
+        spark = df.sparkSession
+        self.metrics = []
+
+        base = with_content_sha(with_file_id(df, id_cols), content_col)
+        if verify_sha_against:
+            bad = base.filter(F.col("content_sha") != F.col(verify_sha_against)).count()
+            if bad:
+                raise ValueError(f"content sha mismatch on {bad} rows")
+
+        # exact-dup short circuit: representative per content_sha
+        ids = self._stage(
+            spark,
+            "identity",
+            lambda: base.select("file_id", "content_sha"),
+        )
+        reps = ids.groupBy("content_sha").agg(F.min("file_id").alias("rep_id"))
+        exact_edges = (
+            ids.join(reps, "content_sha")
+            .filter(F.col("file_id") != F.col("rep_id"))
+            .select(F.col("rep_id").alias("id1"), F.col("file_id").alias("id2"))
+        )
+
+        rep_rows = (
+            base.join(reps.withColumnRenamed("rep_id", "file_id"), ["content_sha", "file_id"])
+            .select("file_id", content_col)
+        )
+
+        signatures = self._stage(
+            spark,
+            "signatures",
+            lambda: with_minhash_signature(rep_rows, self.pcfg, content_col).select(
+                "file_id", "sig", "bands", "n_shingles"
+            ),
+        )
+
+        candidates = self._stage(
+            spark,
+            "candidates",
+            lambda: lsh_ops.candidate_pairs(signatures, self.pcfg.lsh, id_col="file_id"),
+        )
+
+        est_udf = make_minhash_pair_estimator_udf(self.pcfg.minhash, "original")
+        verified = self._stage(
+            spark,
+            "verified_pairs",
+            lambda: lsh_ops.verified_pairs(
+                candidates, signatures, est_udf, self.pcfg.jaccard_threshold, id_col="file_id"
+            ),
+        )
+
+        edges = verified.select("id1", "id2").union(exact_edges.select("id1", "id2"))
+        components = self._stage(
+            spark, "clusters", lambda: connected_components(edges)
+        )
+
+        # every file gets an assignment; singletons cluster with themselves
+        assignment = (
+            ids.select("file_id")
+            .join(components.withColumnRenamed("id", "file_id"), "file_id", "left")
+            .select(
+                "file_id",
+                F.coalesce("cluster_id", "file_id").alias("cluster_id"),
+            )
+        )
+        return PipelineResult(clusters=assignment, pairs=verified, metrics=self.metrics)

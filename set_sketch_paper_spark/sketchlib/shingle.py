@@ -50,7 +50,8 @@ def token_hashes(tokens: list[str], seed: int = 0) -> np.ndarray:
     distinct_hashes = np.fromiter(
         (_fnv1a(t) for t in uniq.keys()), dtype=U64, count=len(uniq)
     )
-    distinct_hashes = splitmix64(distinct_hashes ^ (U64(seed & 0xFFFFFFFFFFFFFFFF) * _MIX1))
+    salt = U64((seed * int(_MIX1)) & 0xFFFFFFFFFFFFFFFF)
+    distinct_hashes = splitmix64(distinct_hashes ^ salt)
     return distinct_hashes[codes]
 
 
