@@ -124,7 +124,12 @@ def ngram_jaccard_pairs(
             "id2",
             "inter_count",
             "union_count",
-            F.round(F.lit(1_000_000) * F.col("inter_count") / F.col("union_count"))
+            # floor((2e6*i + u)/(2u)) == round-half-up(1e6*i/u) over exact
+            # ints; identical IEEE expression in the SQL oracle
+            F.floor(
+                (F.lit(2_000_000) * F.col("inter_count") + F.col("union_count"))
+                / (F.lit(2) * F.col("union_count"))
+            )
             .cast(LongType())
             .alias("jaccard_q"),
         )

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce``: exact top-k neighbors.  Embeddings are
+  quantized to int64 (round(x*1000)) so the dot product is EXACT integer
+  arithmetic and the final cosine is a deterministic IEEE expression of
+  identical integers — bit-identical across Spark and any SQL oracle
+  (no float-summation-order drift).  All JVM-side: zip_with + aggregate.
+- ``hyperplane_ann_topk``: the scale path — random-hyperplane (SimHash) LSH
+  buckets shrink the candidate set from |corpus| to bucket size, then exact
+  cosine re-ranks within buckets.  Probe multiple hash tables for recall.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+_QUANT = 1000
+
+
+def _quantized(col):
+    # cast to double BEFORE scaling so Spark and the SQL oracle evaluate the
+    # identical IEEE expression (float32*int would promote differently)
+    return F.transform(col, lambda x: F.round(x.cast("double") * _QUANT).cast(LongType()))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast(LongType()),
+                       lambda acc, x: acc + x)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors (query set defaults to the corpus).
+
+    Output: (query_id, neighbor_id, rank, cos_q) where cos_q =
+    round(1e6 * dot/sqrt(na*nb)) over quantized integer vectors.
+    The corpus side is broadcast when small; at scale, swap in
+    ``hyperplane_ann_topk``.
+    """
+    q = (queries or corpus).select(
+        F.col(id_col).alias("query_id"), _quantized(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _quantized(F.col(vec_col)).alias("cv")
+    )
+    qn = q.withColumn("qnorm", _dot(F.col("qv"), F.col("qv")))
+    cn = c.withColumn("cnorm", _dot(F.col("cv"), F.col("cv")))
+    pairs = qn.crossJoin(cn).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("dot", _dot(F.col("qv"), F.col("cv"))).withColumn(
+        "cos_q",
+        F.round(
+            F.lit(1_000_000)
+            * F.col("dot")
+            / F.sqrt((F.col("qnorm") * F.col("cnorm")).cast("double"))
+        ).cast(LongType()),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_q")
+    )
+
+
+def _hyperplane_udf(dim: int, n_bits: int, seed: int):
+    """embedding -> int bucket code from n_bits random hyperplane signs.
+    Hyperplanes are a deterministic function of (seed, dim) generated
+    identically on every executor."""
+
+    @F.pandas_udf(IntegerType())
+    def _udf(vecs: pd.Series) -> pd.Series:
+        rng = np.random.RandomState(seed % (2**31 - 1))
+        planes = rng.standard_normal((dim, n_bits))
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ planes) > 0
+        code = np.zeros(len(vecs), dtype=np.int32)
+        for b in range(n_bits):
+            code |= signs[:, b].astype(np.int32) << b
+        return pd.Series(code)
+
+    return _udf
+
+
+def hyperplane_ann_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0xA_2137,
+) -> DataFrame:
+    """Approximate top-k cosine via multi-table random-hyperplane LSH.
+
+    Candidates = pairs sharing a bucket in ANY of n_tables codes; exact
+    integer-quantized cosine re-ranks candidates.  Recall vs brute force is
+    tested in tests/test_similarity.py.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    coded = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    for t in range(n_tables):
+        udf = _hyperplane_udf(dim, n_bits, seed + 7919 * t)
+        coded = coded.withColumn(f"_code{t}", udf(F.col("_v")))
+    coded = coded.withColumn("qv", _quantized(F.col("_v"))).withColumn(
+        "norm", _dot(F.col("qv"), F.col("qv"))
+    )
+    slim = coded.select(
+        "_id", "qv", "norm",
+        F.posexplode(F.array(*[F.col(f"_code{t}") for t in range(n_tables)])).alias(
+            "table_idx", "code"
+        ),
+    )
+    cand = (
+        slim.alias("a")
+        .join(slim.alias("b"), ["table_idx", "code"])
+        .filter(F.col("a._id") != F.col("b._id"))
+        .select(
+            F.col("a._id").alias("query_id"),
+            F.col("b._id").alias("neighbor_id"),
+            F.col("a.qv").alias("qv"),
+            F.col("b.qv").alias("cv"),
+            F.col("a.norm").alias("qnorm"),
+            F.col("b.norm").alias("cnorm"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("dot", _dot(F.col("qv"), F.col("cv"))).withColumn(
+        "cos_q",
+        F.round(
+            F.lit(1_000_000)
+            * F.col("dot")
+            / F.sqrt((F.col("qnorm") * F.col("cnorm")).cast("double"))
+        ).cast(LongType()),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_q")
+    )
+
+
+def label_centroids_quantized(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid in quantized-integer space: exact integer sums per
+    dimension (order-independent => oracle-exact), plus member count.
+    Output: (label, pos, sum_q, n)."""
+    exploded = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_quantized(F.col(vec_col))).alias("pos", "xq"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.sum("xq").alias("sum_q"), F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,107 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting.
+
+Everything here is built-in column expressions (whole-stage codegen,
+no Python), and every output is either an integer or a quantized integer
+(round(1e6 * ratio)) so results hash-match an ANSI-SQL oracle exactly —
+float aggregation order never enters the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+# marker stopwords per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # pinyin-ish placeholder markers
+}
+
+_Q = 1_000_000
+
+
+def _q6(num, den):
+    """round-half-up(1e6 * num/den) as floor((2e6*num + den)/(2*den)) over
+    exact integer inputs.  Both engines evaluate the identical IEEE double
+    division then floor, so results hash-match an ANSI-SQL oracle — no
+    engine-specific round() tie-breaking in the comparison path."""
+    num = num.cast(LongType())
+    den = den.cast(LongType())
+    return F.floor((F.lit(2 * _Q) * num + den) / (F.lit(2) * den)).cast(LongType())
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens (whitespace), n_chars, avg token length and punctuation /
+    digit ratios as quantized integers."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars", n_chars)
+        .withColumn("avg_token_len_q", _q6(n_chars - (n_tokens - 1), n_tokens))
+        .withColumn("punct_ratio_q", _q6(n_punct, n_chars))
+        .withColumn("digit_ratio_q", _q6(n_digit, n_chars))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristic (all integer arithmetic): docs are
+    penalized for being very short, punctuation-heavy or digit-heavy.
+    score_q in [0, 1e6]."""
+    d = with_token_stats(df, text_col)
+    len_ok = F.when(F.col("n_tokens") >= 20, F.lit(_Q)).otherwise(
+        F.col("n_tokens") * int(_Q / 20)
+    )
+    punct_pen = F.greatest(F.lit(0), F.lit(_Q) - F.col("punct_ratio_q") * 4)
+    digit_pen = F.greatest(F.lit(0), F.lit(_Q) - F.col("digit_ratio_q") * 4)
+    return d.withColumn(
+        "quality_q",
+        F.floor((len_ok + punct_pen + digit_pen) / 3).cast(LongType()),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", langs=None) -> DataFrame:
+    """Stopword-marker language ID: count distinct marker tokens present per
+    language (array_intersect on the token set), predict the argmax with
+    deterministic first-in-list tie-breaking."""
+    langs = langs or list(LANG_MARKERS)
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    d = df
+    for lang in langs:
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        d = d.withColumn(f"_score_{lang}", F.size(F.array_intersect(toks, markers)))
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        # first-in-list wins ties: lang beats later langs when >= their score
+        later = [F.col(f"_score_{l2}") for l2 in langs[langs.index(lang) + 1:]]
+        cond = F.col(f"_score_{lang}") >= F.greatest(*later) if len(later) > 1 else (
+            F.col(f"_score_{lang}") >= later[0]
+        )
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    d = d.withColumn("pred_lang", pred)
+    return d.drop(*[f"_score_{lang}" for lang in langs])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whole-document fingerprint: md5 (portable across engines) of the
+    text; plus a 64-bit xxhash64 for compact joins (Spark-side only)."""
+    return df.withColumn("fingerprint_md5", F.md5(F.col(text_col))).withColumn(
+        "fingerprint64", F.xxhash64(F.col(text_col))
+    )
+
+
+def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-word-ish token count: alphanumeric runs and individual
+    punctuation both count (a cheap stand-in for BPE token counting; the
+    regex is engine-portable)."""
+    return df.withColumn(
+        "n_subtokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)),
+    )

@@ -1,0 +1,79 @@
+"""Driver-contract validation: every queries() entry runs, and every
+oracle_sql() entry matches the Spark result exactly (row count + columns +
+order-insensitive values) — the same comparison the driver makes at sf0.01,
+run here at sf0.001 for speed.
+"""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> list[tuple]:
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [tuple(str(v) for v in row) for row in pdf.itertuples(index=False)]
+    return sorted(rows)
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+ALL_KEYS = sorted(entrymod.queries().keys())
+ROWS_ONLY_KEYS = sorted(set(ALL_KEYS) - set(ORACLE_KEYS))
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLE_KEYS) <= set(ALL_KEYS)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = q(spark, SF_DIR).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows vs oracle {len(want)}"
+    g, w = _normalize(got), _normalize(want)
+    mismatches = [(a, b) for a, b in zip(g, w) if a != b][:5]
+    assert g == w, f"{name}: first value mismatches {mismatches}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_query_runs(spark, name):
+    q = entrymod.queries()[name]
+    df = q(spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"file_id", "cluster_id"}
