@@ -32,10 +32,12 @@ from set_sketch_paper_spark.config import (
 )
 
 # documents in the testdata are short (10-100 whitespace tokens): k=3
-# shingles + 128-register signatures, 32x4 banding for high recall at J>=0.5
+# shingles + 128-register signatures, 32x4 banding for high recall at J>=0.5.
+# algo='oph' is the O(n+m) scale path (dense classic MinHash is the
+# paper-parity path, exercised by tests/ and the estimator benches).
 DOC_PCFG = PipelineConfig(
     shingle=ShingleConfig(k=3),
-    minhash=MinHashConfig(num_registers=128),
+    minhash=MinHashConfig(num_registers=128, algo="oph"),
     lsh=LSHConfig(num_bands=32, rows_per_band=4, band_cap=500),
     jaccard_threshold=0.5,
 )

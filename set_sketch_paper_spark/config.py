@@ -21,10 +21,16 @@ def _stable_hash(obj) -> str:
 
 @dataclass(frozen=True)
 class MinHashConfig:
-    """MinHash with m 64-bit registers (cf. sketch.hpp:1546-1576)."""
+    """MinHash with m 64-bit registers (cf. sketch.hpp:1546-1576).
+
+    ``algo``: 'dense' = classic m-hashes-per-element MinHash (paper-parity
+    path, O(n*m)); 'oph' = one-permutation hashing with rotation
+    densification (scale path, O(n+m) — see minhash_signatures_batch_oph).
+    """
 
     num_registers: int = 128
     seed: int = 0x5E75_FE7C
+    algo: str = "dense"
 
     def config_hash(self) -> str:
         return _stable_hash({"kind": "minhash", **asdict(self)})

@@ -32,13 +32,13 @@ from ..sketchlib.estimators import (
 )
 from ..sketchlib.ghll import ghll_sketches_batch
 from ..sketchlib.hashing import u64_from_i64, u64_to_i64
-from ..sketchlib.minhash import band_hashes, minhash_cardinality, minhash_signatures_batch
+from ..sketchlib.minhash import band_hashes, minhash_batch, minhash_cardinality
 from ..sketchlib.setsketch import setsketches_batch
 from ..sketchlib.shingle import shingle_sets_batch
 
 SIGNATURE_STRUCT = StructType(
     [
-        StructField("sig", ArrayType(LongType()), False),
+        StructField("sig", BinaryType(), False),
         StructField("bands", ArrayType(LongType()), False),
         StructField("n_shingles", IntegerType(), False),
     ]
@@ -46,10 +46,13 @@ SIGNATURE_STRUCT = StructType(
 
 
 def make_minhash_signature_udf(pcfg: PipelineConfig):
-    """content:string -> struct(sig array<long>, bands array<long>, n_shingles int).
+    """content:string -> struct(sig binary, bands array<long>, n_shingles int).
 
-    uint64 registers cross the Arrow boundary bit-reinterpreted as int64
-    (SURVEY.md §7.3).
+    ``sig`` is the little-endian uint64 register buffer as ONE binary blob:
+    a 128-register signature as array<long> costs a 128-slot Arrow ListArray
+    per row (per-element conversion dominated the signature stage at 240k
+    rows); as BinaryType it is a single buffer memcpy.  ``bands`` stays
+    array<long> (short, and posexplode needs an array JVM-side).
     """
     sh, mh, lsh = pcfg.shingle, pcfg.minhash, pcfg.lsh
 
@@ -58,13 +61,12 @@ def make_minhash_signature_udf(pcfg: PipelineConfig):
         values, offsets = shingle_sets_batch(
             content.tolist(), sh.k, sh.token_pattern, sh.lowercase, sh.seed
         )
-        sigs, sizes = minhash_signatures_batch(values, offsets, mh.num_registers, mh.seed)
+        sigs, sizes = minhash_batch(values, offsets, mh.num_registers, mh.seed, mh.algo)
         bands = band_hashes(sigs, lsh.num_bands, lsh.rows_per_band, lsh.seed)
-        sig_i64 = u64_to_i64(sigs)
         bands_i64 = u64_to_i64(bands)
         return pd.DataFrame(
             {
-                "sig": list(sig_i64),
+                "sig": [row.tobytes() for row in sigs],
                 "bands": list(bands_i64),
                 "n_shingles": sizes.astype(np.int32),
             }
@@ -112,7 +114,7 @@ def make_minhash_of_longs_udf(mh: MinHashConfig):
         lists = [np.asarray(e if e is not None else [], dtype=np.int64) for e in elements]
         values = u64_from_i64(np.concatenate(lists) if lists else np.empty(0, np.int64))
         offsets = np.cumsum([0] + [len(x) for x in lists])
-        sigs, _ = minhash_signatures_batch(values, offsets, mh.num_registers, mh.seed)
+        sigs, _ = minhash_batch(values, offsets, mh.num_registers, mh.seed, mh.algo)
         return pd.Series(list(u64_to_i64(sigs)))
 
     return _udf
@@ -202,7 +204,7 @@ PAIR_ESTIMATE_STRUCT = StructType(
 
 
 def make_minhash_pair_estimator_udf(mh: MinHashConfig, method: str = "original"):
-    """(sig1, sig2) -> struct of joint estimates.
+    """(sig1 binary, sig2 binary) -> struct of joint estimates.
 
     method: 'original' (equal-register fraction, sketch.hpp:1452-1461),
     'new' (closed-form ML, sketch.hpp:1475-1503), or 'incl_excl'.
@@ -213,8 +215,11 @@ def make_minhash_pair_estimator_udf(mh: MinHashConfig, method: str = "original")
 
     @F.pandas_udf(PAIR_ESTIMATE_STRUCT)
     def _udf(sig1: pd.Series, sig2: pd.Series) -> pd.DataFrame:
-        m1 = u64_from_i64(np.array([np.asarray(s, dtype=np.int64) for s in sig1]))
-        m2 = u64_from_i64(np.array([np.asarray(s, dtype=np.int64) for s in sig2]))
+        cols = ["est_jaccard", "est_intersection", "est_union", "est_cosine"]
+        if len(sig1) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.float64) for c in cols})
+        m1 = np.frombuffer(b"".join(sig1), dtype=np.uint64).reshape(len(sig1), -1)
+        m2 = np.frombuffer(b"".join(sig2), dtype=np.uint64).reshape(len(sig2), -1)
         r = fn(m1, m2)
         return pd.DataFrame(
             {

@@ -17,7 +17,7 @@ import pandas as pd
 
 from .config import PipelineConfig
 from .sketchlib.estimators import MinHashJointEstimator
-from .sketchlib.minhash import band_hashes, minhash_signatures_batch
+from .sketchlib.minhash import band_hashes, minhash_batch
 from .sketchlib.shingle import shingle_sets_batch
 
 
@@ -57,7 +57,8 @@ def oracle_near_dup(
         pcfg.shingle.lowercase,
         pcfg.shingle.seed,
     )
-    sigs, _ = minhash_signatures_batch(values, offsets, pcfg.minhash.num_registers, pcfg.minhash.seed)
+    sigs, _ = minhash_batch(values, offsets, pcfg.minhash.num_registers,
+                            pcfg.minhash.seed, pcfg.minhash.algo)
     bands = band_hashes(sigs, pcfg.lsh.num_bands, pcfg.lsh.rows_per_band, pcfg.lsh.seed)
 
     buckets: dict = defaultdict(list)

@@ -13,7 +13,9 @@ from .minhash import (
     merge_minhash,
     minhash_cardinality,
     minhash_signature,
+    minhash_batch,
     minhash_signatures_batch,
+    minhash_signatures_batch_oph,
 )
 from .ghll import ghll_sketch, ghll_sketches_batch, merge_ghll
 from .setsketch import merge_setsketch, setsketch_sketch, setsketches_batch
@@ -28,7 +30,9 @@ __all__ = [
     "token_hashes",
     "shingle_hashes",
     "minhash_signature",
+    "minhash_batch",
     "minhash_signatures_batch",
+    "minhash_signatures_batch_oph",
     "bbit_signature",
     "merge_minhash",
     "minhash_cardinality",

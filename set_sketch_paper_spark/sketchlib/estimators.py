@@ -68,7 +68,12 @@ def joint_from_jaccard(card1, card2, jaccard) -> dict[str, np.ndarray]:
     d1 = np.maximum(0.0, c1 - c2 * t) * y
     d2 = np.maximum(0.0, c2 - c1 * t) * y
     inter = (c1 + c2) * t * y
-    return _joint_result(d1, d2, inter)
+    out = _joint_result(d1, d2, inter)
+    # keep the trimmed input jaccard verbatim: re-deriving it as inter/union
+    # loses a ulp, which flips est >= threshold exactly at the boundary
+    # (e.g. 64/128 equal registers vs threshold 0.5)
+    out["jaccard"] = t
+    return out
 
 
 def joint_from_union(card1, card2, card_union) -> dict[str, np.ndarray]:

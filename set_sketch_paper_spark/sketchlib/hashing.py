@@ -23,11 +23,19 @@ _MIX2 = U64(0x94D049BB133111EB)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer: bijective mixer on uint64."""
-    z = (np.asarray(x, dtype=U64) + _GOLDEN).astype(U64)
-    z = (z ^ (z >> U64(30))) * _MIX1
-    z = (z ^ (z >> U64(27))) * _MIX2
-    return z ^ (z >> U64(31))
+    """SplitMix64 finalizer: bijective mixer on uint64.
+
+    In-place mixing on one fresh buffer — this is the innermost kernel of
+    every sketch (m x n evaluations per signature batch), so allocation
+    traffic matters more than readability here.
+    """
+    z = np.add(np.asarray(x, dtype=U64), _GOLDEN, dtype=U64)
+    z ^= z >> U64(30)
+    z *= _MIX1
+    z ^= z >> U64(27)
+    z *= _MIX2
+    z ^= z >> U64(31)
+    return z
 
 
 def mix_pair(x: np.ndarray, y) -> np.ndarray:

@@ -56,6 +56,64 @@ def minhash_signatures_batch(
     return sigs, sizes
 
 
+def minhash_signatures_batch_oph(
+    values: np.ndarray, offsets: np.ndarray, m: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One-permutation MinHash with rotation densification.
+
+    Classic dense MinHash (above) costs O(n*m) hashes per set — the
+    reference's own benchmark shows it ~1000x slower per element than the
+    one-hash-per-element sketches (MinHash 4.14us/elem vs GHLL 3.93ns/elem,
+    BASELINE.md).  OPH (Li, Owen, Zhang NIPS'12) hashes each element ONCE
+    into one of m bins and keeps the per-bin minimum; empty bins borrow the
+    nearest non-empty bin to the left (circular rotation densification,
+    Shrivastava & Li ICML'14 — unbiased for Jaccard via register equality).
+    O(n + m) per set: this is the 100TB-scale signature path (`algo='oph'`).
+
+    Same register-equality Jaccard estimator and LSH banding apply; both the
+    Spark pipeline and the single-node oracle call this same function, so
+    assignments stay bit-identical across parallelism levels.
+    """
+    rows = len(offsets) - 1
+    UMAX = np.iinfo(np.uint64).max
+    sigs = np.full((rows, m), UMAX, dtype=U64)
+    sizes = np.diff(offsets).astype(np.int64)
+    n = len(values)
+    if n:
+        vals = np.asarray(values, dtype=U64)
+        skey = splitmix64(np.array([seed & 0xFFFFFFFFFFFFFFFF], dtype=U64))[0]
+        h = splitmix64(vals ^ skey)
+        bins = ((h >> U64(32)) * U64(m)) >> U64(32)  # Lemire map to [0, m)
+        regval = splitmix64(h)
+        row_of = np.repeat(np.arange(rows, dtype=np.int64), sizes)
+        flat = row_of * m + bins.astype(np.int64)
+        np.minimum.at(sigs.reshape(-1), flat, regval)
+
+    # rotation densification: empty bin j takes the nearest non-empty bin to
+    # its left (circular); fully-empty rows stay at UMAX (empty-set state)
+    nonempty = sigs != UMAX
+    any_filled = nonempty.any(axis=1)
+    if any_filled.any():
+        idx = np.where(nonempty, np.arange(m, dtype=np.int64)[None, :], np.int64(-1))
+        ffl = np.maximum.accumulate(idx, axis=1)  # max non-empty index <= j
+        ff = np.where(ffl >= 0, ffl, ffl[:, -1:])  # wrap: global last non-empty
+        take = np.maximum(ff, 0)
+        dense = np.take_along_axis(sigs, take, axis=1)
+        sigs = np.where((ff >= 0) & any_filled[:, None], dense, sigs)
+    return sigs, sizes
+
+
+def minhash_batch(
+    values: np.ndarray, offsets: np.ndarray, m: int, seed: int, algo: str = "dense"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dispatch on MinHashConfig.algo: 'dense' (paper-parity) or 'oph'."""
+    if algo == "oph":
+        return minhash_signatures_batch_oph(values, offsets, m, seed)
+    if algo == "dense":
+        return minhash_signatures_batch(values, offsets, m, seed)
+    raise ValueError(f"unknown minhash algo {algo!r} (expected 'dense' or 'oph')")
+
+
 def merge_minhash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Element-wise min merge (sketch.hpp:1599-1603)."""
     return np.minimum(np.asarray(a, dtype=U64), np.asarray(b, dtype=U64))

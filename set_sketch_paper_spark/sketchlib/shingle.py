@@ -26,6 +26,9 @@ def _compiled(pattern: str):
 def tokenize(text: str, pattern: str = r"\S+", lowercase: bool = False) -> list[str]:
     if lowercase:
         text = text.lower()
+    if pattern == r"\S+":
+        # str.split() == findall(r"\S+") and is ~5x faster (hot path)
+        return text.split()
     return _compiled(pattern).findall(text)
 
 
@@ -81,16 +84,11 @@ def shingle_hashes(tok_hashes: np.ndarray, k: int) -> np.ndarray:
     return np.unique(splitmix64(s))
 
 
-def shingle_sets_batch(
+def _shingle_sets_batch_ref(
     texts, k: int, pattern: str = r"\S+", lowercase: bool = False, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Shingle a batch of texts.
-
-    Returns (values, offsets): ``values`` is the concatenation of each text's
-    distinct shingle hashes; ``offsets[i]:offsets[i+1]`` slices text i.  The
-    flat layout feeds np.minimum.reduceat-style batched sketch kernels
-    without per-row object overhead.
-    """
+    """Per-row reference implementation (kept as the equivalence oracle for
+    the vectorized batch kernel below; see tests/test_sketchlib.py)."""
     parts: list[np.ndarray] = []
     offsets = np.empty(len(texts) + 1, dtype=np.int64)
     offsets[0] = 0
@@ -100,4 +98,91 @@ def shingle_sets_batch(
         parts.append(sh)
         offsets[i + 1] = offsets[i] + len(sh)
     values = np.concatenate(parts) if parts else np.empty(0, dtype=U64)
+    return values, offsets
+
+
+def shingle_sets_batch(
+    texts, k: int, pattern: str = r"\S+", lowercase: bool = False, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle a batch of texts (bit-identical to ``_shingle_sets_batch_ref``).
+
+    Returns (values, offsets): ``values`` is the concatenation of each text's
+    distinct (sorted) shingle hashes; ``offsets[i]:offsets[i+1]`` slices text
+    i.  The flat layout feeds np.minimum.reduceat-style batched sketch
+    kernels without per-row object overhead.
+
+    Hot-path design (this runs inside every signature UDF batch): the only
+    per-token Python is the regex findall; token interning is ONE
+    pandas.factorize over the whole batch (C speed), the byte-level FNV hash
+    runs once per *distinct token per batch* (not per occurrence), and the
+    k-gram rolling combine + per-row dedup are flat numpy passes with
+    row-boundary masking — no per-document Python loop.
+    """
+    import pandas as pd
+
+    n_docs = len(texts)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    if n_docs == 0:
+        return np.empty(0, dtype=U64), offsets
+    tok_lists = [tokenize(t or "", pattern, lowercase) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n_docs)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=U64), offsets
+
+    from itertools import chain
+
+    flat_tokens = np.empty(total, dtype=object)
+    flat_tokens[:] = list(chain.from_iterable(tok_lists))
+    codes, uniques = pd.factorize(flat_tokens)
+    distinct = np.fromiter((_fnv1a(t) for t in uniques), dtype=U64, count=len(uniques))
+    salt = U64((seed * int(_MIX1)) & 0xFFFFFFFFFFFFFFFF)
+    th_flat = splitmix64(distinct ^ salt)[codes]
+
+    tok_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=tok_off[1:])
+    row_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+    row_parts: list[np.ndarray] = []  # (row_id, value) pair sources
+    val_parts: list[np.ndarray] = []
+
+    # full-width windows: position p valid iff tokens p..p+k-1 share a row
+    if total >= k:
+        nwin = total - k + 1
+        s = th_flat[:nwin].copy()
+        for j in range(1, k):
+            s = splitmix64(s ^ _TOKEN_SALT)
+            s ^= th_flat[j : nwin + j]
+        s = splitmix64(s)
+        valid = row_of_tok[:nwin] == row_of_tok[k - 1 :]
+        # only rows with len >= k use windows (len<k rows get the fold below)
+        row_parts.append(row_of_tok[:nwin][valid])
+        val_parts.append(s[valid])
+
+    # short rows (0 < len < k): one shingle folding all tokens, same math as
+    # shingle_hashes with k'=len
+    short = np.flatnonzero((lens > 0) & (lens < k))
+    if len(short):
+        max_len = int(lens[short].max())
+        sv = th_flat[tok_off[short]].copy()
+        for j in range(1, max_len):
+            live = lens[short] > j
+            idx = tok_off[short[live]] + j
+            sv[live] = splitmix64(sv[live] ^ _TOKEN_SALT) ^ th_flat[idx]
+        row_parts.append(short)
+        val_parts.append(splitmix64(sv))
+
+    rows_all = np.concatenate(row_parts) if row_parts else np.empty(0, np.int64)
+    vals_all = np.concatenate(val_parts) if val_parts else np.empty(0, U64)
+    if len(vals_all) == 0:
+        return np.empty(0, dtype=U64), offsets
+    order = np.lexsort((vals_all, rows_all))
+    rv = rows_all[order]
+    vv = vals_all[order]
+    keep = np.ones(len(vv), dtype=bool)
+    keep[1:] = (rv[1:] != rv[:-1]) | (vv[1:] != vv[:-1])
+    rv = rv[keep]
+    values = vv[keep]
+    counts = np.bincount(rv, minlength=n_docs)
+    np.cumsum(counts, out=offsets[1:])
     return values, offsets

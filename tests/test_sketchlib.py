@@ -157,3 +157,66 @@ def test_shingle_batch_layout():
     inter = len(np.intersect1d(v1, v2))
     union = len(np.union1d(v1, v2))
     assert 0.2 < inter / union < 0.8
+
+
+# ---------------------------------------------------------------------------
+# vectorized shingle batch == per-row reference; OPH properties
+# ---------------------------------------------------------------------------
+
+def test_shingle_batch_matches_reference_impl():
+    from set_sketch_paper_spark.sketchlib.shingle import _shingle_sets_batch_ref
+
+    texts = [
+        "", "one", "one two", "a b c d e f g", "x " * 50,
+        "dup dup dup dup", "tok1 tok2 tok3 tok1 tok2 tok3",
+    ] + [f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}" for i in range(40)]
+    for k in (1, 3, 5, 9):
+        v1, o1 = _shingle_sets_batch_ref(texts, k)
+        v2, o2 = shingle_sets_batch(texts, k)
+        assert np.array_equal(o1, o2), k
+        assert np.array_equal(v1, v2), k
+
+
+def test_oph_properties(rng):
+    from set_sketch_paper_spark.sketchlib.minhash import minhash_signatures_batch_oph
+
+    UMAX = np.iinfo(np.uint64).max
+    sets = [random_u64(rng, n) for n in (1000, 3, 0, 64)]
+    values = np.concatenate(sets)
+    offsets = np.cumsum([0] + [len(s) for s in sets])
+    sigs, sizes = minhash_signatures_batch_oph(values, offsets, 128, seed=7)
+    assert list(sizes) == [1000, 3, 0, 64]
+    # empty set -> untouched registers
+    assert np.all(sigs[2] == UMAX)
+    # non-empty sets are fully densified (no UMAX left)
+    assert not np.any(sigs[0] == UMAX)
+    assert not np.any(sigs[1] == UMAX)
+    # identical set -> identical signature regardless of order/duplication
+    sh = np.concatenate([sets[0][::-1], sets[0][:100]])
+    v2 = np.concatenate([sets[0], sh])
+    o2 = np.array([0, len(sets[0]), len(sets[0]) + len(sh)])
+    s2, _ = minhash_signatures_batch_oph(v2, o2, 128, seed=7)
+    assert np.array_equal(s2[0], s2[1])
+    assert np.array_equal(s2[0], sigs[0])
+
+
+def test_oph_jaccard_estimator_unbiased(rng):
+    """Register-equality Jaccard over densified OPH tracks truth
+    (Shrivastava & Li ICML'14 unbiasedness), n >> m regime."""
+    from set_sketch_paper_spark.sketchlib.minhash import minhash_signatures_batch_oph
+
+    m, reps = 128, 150
+    inter, diff = 600, 300  # J = 600/1200 = 0.5
+    ests = []
+    for _ in range(reps):
+        common = random_u64(rng, inter)
+        a = np.concatenate([common, random_u64(rng, diff)])
+        b = np.concatenate([common, random_u64(rng, diff)])
+        v = np.concatenate([a, b])
+        o = np.array([0, len(a), len(a) + len(b)])
+        s, _ = minhash_signatures_batch_oph(v, o, m, seed=3)
+        ests.append(float((s[0] == s[1]).mean()))
+    mean = np.mean(ests)
+    assert abs(mean - 0.5) < 0.02, mean
+    rmse = np.sqrt(np.mean((np.array(ests) - 0.5) ** 2))
+    assert rmse < 2.0 * np.sqrt(0.5 * 0.5 / m), rmse
