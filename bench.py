@@ -54,7 +54,10 @@ HEADLINE = [
     "user_event_seq",         # partitioned window
 ]
 
-SCALING_N_FILES = int(os.environ.get("SPARK_GRAFT_SCALING_FILES", "60000"))
+# 960k synthetic files: large enough that parallel compute dominates the
+# single-JVM fixed costs (job scheduling, shuffle setup), so the measured
+# ratio reflects the job's true scalability
+SCALING_N_FILES = int(os.environ.get("SPARK_GRAFT_SCALING_FILES", "960000"))
 
 
 def _spark(cpus: int):
@@ -207,10 +210,14 @@ def _write_bench_baseline(out: dict, levels, results) -> None:
         "",
         "## Sketch+LSH throughput at two parallelism levels",
         "",
-        "Protocol (north rule): the same job — synthetic Iceberg-shaped corpus",
-        f"({out['n_files']} files, FIXTURES.md F1, generation cost excluded) through",
-        "sha256 + MinHash-128 signatures + LSH(16x8) candidate pairs — run at",
-        f"local[{lo}] and local[{hi}] standing in for N and 4N executors.",
+        "Protocol (north rule): the same job — parquet scan of the synthetic",
+        f"Iceberg-shaped corpus ({out['n_files']} files, FIXTURES.md F1, written once",
+        "and shared by both levels) through sha256 + MinHash-128 OPH signatures +",
+        f"LSH(16x8) candidate pairs — run at local[{lo}] and local[{hi}] standing in",
+        f"for N and {hi//lo}N executors (both levels fit the box together with their",
+        "Python workers, so the ratio is not polluted by oversubscription the way",
+        "a local[32]-on-32-cores level would be).  Warm-up rep excluded; median",
+        "of 3 measured reps.",
         "",
         "| parallelism | seconds | files/sec | candidate pairs |",
         "|---|---|---|---|",
@@ -240,7 +247,11 @@ def _write_bench_baseline(out: dict, levels, results) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="two-parallelism scaling run")
-    ap.add_argument("--levels", type=str, default="8,32")
+    # local[4] vs local[16]: N and 4N cores, both levels fit the 32-CPU box
+    # including their Python workers (local[8] vs local[32] oversubscribes
+    # the high level and penalizes it with contention that a real 4N-executor
+    # cluster would not have)
+    ap.add_argument("--levels", type=str, default="4,16")
     args = ap.parse_args()
     if args.scaling:
         try:

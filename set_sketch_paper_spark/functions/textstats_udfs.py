@@ -35,11 +35,14 @@ def make_simhash_udf(sh: ShingleConfig):
             sizes = np.diff(offsets)
             nonempty = sizes > 0
             starts = offsets[:-1][nonempty]
-            # votes: (n_values, 64) of {0,1}; reduceat sums per document
-            bits = (
-                values[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
-            ) & np.uint64(1)
-            ones = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            # votes: (n_values, 64) bit-plane as uint8 via unpackbits
+            # (little-endian: column j == bit j) summed per document with a
+            # typed reduceat — an int64 bit matrix here cost 8x the memory
+            # and dominated the simhash stage
+            bits = np.unpackbits(
+                np.ascontiguousarray(values).view(np.uint8), bitorder="little"
+            ).reshape(-1, 64)
+            ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int32)
             majority = ones * 2 > sizes[nonempty, None]
             packed = np.zeros(majority.shape[0], dtype=np.uint64)
             for b in range(64):

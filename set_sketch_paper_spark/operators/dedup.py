@@ -103,7 +103,13 @@ def ngram_jaccard_pairs(
         ).alias("grams"),
     )
     sizes = grams.select("_id", F.size("grams").alias("n_grams"))
-    exploded = grams.select("_id", F.explode("grams").alias("g"))
+    # join on the 64-bit gram hash, not the gram string: halves-to-quarters
+    # the shuffle bytes of the self-join.  xxhash64 collisions across a
+    # corpus' distinct grams are ~|grams|^2/2^64 — negligible; the exact
+    # SQL oracle joins on strings and agreement is asserted at sf0.01.
+    exploded = grams.select(
+        "_id", F.explode("grams").alias("_g")
+    ).select("_id", F.xxhash64("_g").alias("g"))
     inter = (
         exploded.alias("a")
         .join(exploded.alias("b"), "g")

@@ -72,21 +72,23 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplane_udf(dim: int, n_bits: int, seed: int):
-    """embedding -> int bucket code from n_bits random hyperplane signs.
+def _hyperplane_codes_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+    """embedding -> array<int> of ALL n_tables bucket codes in one pass
+    (one Arrow roundtrip + one matmul instead of n_tables UDF calls).
     Hyperplanes are a deterministic function of (seed, dim) generated
     identically on every executor."""
 
-    @F.pandas_udf(IntegerType())
+    @F.pandas_udf(ArrayType(IntegerType()))
     def _udf(vecs: pd.Series) -> pd.Series:
         rng = np.random.RandomState(seed % (2**31 - 1))
-        planes = rng.standard_normal((dim, n_bits))
+        planes = rng.standard_normal((dim, n_bits * n_tables))
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         signs = (mat @ planes) > 0
-        code = np.zeros(len(vecs), dtype=np.int32)
-        for b in range(n_bits):
-            code |= signs[:, b].astype(np.int32) << b
-        return pd.Series(code)
+        weights = (1 << np.arange(n_bits, dtype=np.int32))
+        codes = (
+            signs.reshape(len(vecs), n_tables, n_bits).astype(np.int32) * weights
+        ).sum(axis=2, dtype=np.int32)
+        return pd.Series(list(codes))
 
     return _udf
 
@@ -107,20 +109,16 @@ def hyperplane_ann_topk(
     tested in tests/test_similarity.py.
     """
     dim = len(corpus.select(vec_col).first()[0])
-    coded = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    )
-    for t in range(n_tables):
-        udf = _hyperplane_udf(dim, n_bits, seed + 7919 * t)
-        coded = coded.withColumn(f"_code{t}", udf(F.col("_v")))
-    coded = coded.withColumn("qv", _quantized(F.col("_v"))).withColumn(
-        "norm", _dot(F.col("qv"), F.col("qv"))
+    codes_udf = _hyperplane_codes_udf(dim, n_bits, n_tables, seed)
+    coded = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_codes", codes_udf(F.col("_v")))
+        .withColumn("qv", _quantized(F.col("_v")))
+        .withColumn("norm", _dot(F.col("qv"), F.col("qv")))
     )
     slim = coded.select(
         "_id", "qv", "norm",
-        F.posexplode(F.array(*[F.col(f"_code{t}") for t in range(n_tables)])).alias(
-            "table_idx", "code"
-        ),
+        F.posexplode(F.col("_codes")).alias("table_idx", "code"),
     )
     cand = (
         slim.alias("a")

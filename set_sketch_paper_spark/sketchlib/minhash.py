@@ -152,13 +152,21 @@ def band_hashes(
 
     sigs: (rows, m) with m == num_bands * rows_per_band.
     Returns uint64 (rows, num_bands); band identity is carried by position.
+
+    Register-to-band assignment is STRIDED (band b folds registers
+    b, b+num_bands, b+2*num_bands, ...), not consecutive.  For dense MinHash
+    the layouts are statistically identical (independent registers), but for
+    OPH signatures rotation densification copies one value across a run of
+    consecutive empty bins — consecutive banding then turns one shared
+    minimum between two small sets into a full spurious band collision
+    (measured 100x candidate inflation on short documents).
     """
     s = np.atleast_2d(np.asarray(sigs, dtype=U64))
     rows, m = s.shape
     assert m == num_bands * rows_per_band, (m, num_bands, rows_per_band)
     salts = derive_keys(seed ^ 0xBA9D5, num_bands)
     folded = np.broadcast_to(salts, (rows, num_bands)).copy()
-    cube = s.reshape(rows, num_bands, rows_per_band)
+    cube = s.reshape(rows, rows_per_band, num_bands)
     for r in range(rows_per_band):
-        folded = splitmix64(folded ^ cube[:, :, r])
+        folded = splitmix64(folded ^ cube[:, r, :])
     return folded

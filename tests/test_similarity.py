@@ -1,0 +1,69 @@
+"""ANN recall vs exact brute force, and centroid exactness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from set_sketch_paper_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    hyperplane_ann_topk,
+    label_centroids_quantized,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(11)
+    n, dim, n_clusters = 400, 32, 12
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    labels = rng.randint(0, n_clusters, size=n)
+    vecs = centers[labels] + rng.standard_normal((n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+            "label": labels.astype(np.int32),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_ann_recall_vs_bruteforce(emb_df):
+    k = 5
+    exact = cosine_topk_bruteforce(emb_df, k=k).collect()
+    approx = hyperplane_ann_topk(emb_df, k=k, n_bits=6, n_tables=8).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    # clustered data + 8 tables of 6 bits: near neighbors share buckets whp
+    assert recall >= 0.8, recall
+
+
+def test_ann_scores_match_exact_for_found_pairs(emb_df):
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_q"]
+        for r in cosine_topk_bruteforce(emb_df, k=5).collect()
+    }
+    for r in hyperplane_ann_topk(emb_df, k=5, n_bits=6, n_tables=8).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cos_q"] == exact[key], key
+
+
+def test_label_centroids_exact(emb_df):
+    got = {
+        (r["label"], r["pos"]): (r["sum_q"], r["n"])
+        for r in label_centroids_quantized(emb_df).collect()
+    }
+    pdf = emb_df.toPandas()
+    for label, grp in pdf.groupby("label"):
+        mat = np.vstack(
+            [np.round(np.asarray(v, dtype=np.float64) * 1000).astype(np.int64)
+             for v in grp["embedding"]]
+        )
+        sums = mat.sum(axis=0)
+        for pos in range(mat.shape[1]):
+            assert got[(int(label), pos)] == (int(sums[pos]), len(grp))
