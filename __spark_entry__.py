@@ -352,6 +352,81 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return hyperplane_ann_topk(emb, k=5, n_bits=6, n_tables=6)
 
 
+def _q_minhash_est_cardinality(spark, sf_dir):
+    """MinHash cardinality estimator (sketch.hpp:1383-1389) per document,
+    rows-only (estimate, no exact SQL twin)."""
+    from set_sketch_paper_spark.functions.udfs import make_minhash_cardinality_udf
+    from set_sketch_paper_spark.operators.signatures import with_minhash_signature
+    from set_sketch_paper_spark.config import MinHashConfig, PipelineConfig
+
+    pcfg = PipelineConfig(
+        shingle=DOC_PCFG.shingle,
+        minhash=MinHashConfig(num_registers=128, algo="dense"),
+        lsh=DOC_PCFG.lsh,
+    )
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    signed = with_minhash_signature(docs, pcfg)
+    card = make_minhash_cardinality_udf()
+    return signed.select(
+        "doc_id",
+        "n_shingles",
+        F.round(card("sig")).cast(LongType()).alias("est_shingles"),
+    )
+
+
+def _q_ghll_joint_pairs(spark, sf_dir):
+    """The paper's joint ML estimator (sketch.hpp:484-522) end-to-end:
+    LSH candidates -> GHLL register sketches -> vectorized 'new' joint
+    estimates per pair.  Rows-only (pseudo-random register state)."""
+    from set_sketch_paper_spark.functions.udfs import make_register_pair_estimator_udf
+    from set_sketch_paper_spark.operators import lsh as lsh_ops
+    from set_sketch_paper_spark.operators.signatures import (
+        with_minhash_signature,
+        with_register_sketch,
+    )
+
+    cfg = GHLLConfig(num_registers=256, base=2.0, q=62)
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    signed = with_minhash_signature(docs, DOC_PCFG).select("doc_id", "content", "bands")
+    cands = lsh_ops.candidate_pairs(signed, DOC_PCFG.lsh, id_col="doc_id")
+    regs = with_register_sketch(docs, cfg, DOC_PCFG, out="registers").select(
+        F.col("doc_id").alias("_rid"), "registers"
+    )
+    est_udf = make_register_pair_estimator_udf(cfg, method="new")
+    joined = (
+        cands.join(regs.withColumnRenamed("_rid", "id1").withColumnRenamed("registers", "r1"), "id1")
+        .join(regs.withColumnRenamed("_rid", "id2").withColumnRenamed("registers", "r2"), "id2")
+    )
+    return joined.select(
+        "id1", "id2", est_udf(F.col("r1"), F.col("r2")).alias("est")
+    ).select(
+        "id1",
+        "id2",
+        F.col("est.est_jaccard").alias("est_jaccard"),
+        F.col("est.est_intersection").alias("est_intersection"),
+        F.col("est.est_union").alias("est_union"),
+    )
+
+
+def _q_hmh_doc_cardinality(spark, sf_dir):
+    """HyperMinHash shingle-set cardinality per document (sketch.hpp:
+    1873-1960 sketch, 1823-1845 'new' estimator), rows-only."""
+    from set_sketch_paper_spark.config import HyperMinHashConfig
+    from set_sketch_paper_spark.functions.udfs import (
+        make_hyperminhash_cardinality_udf,
+        make_hyperminhash_sketch_udf,
+    )
+
+    cfg = HyperMinHashConfig(bucketbits=8, bucketsize=6, subbucketsize=10)
+    docs = _docs(spark, sf_dir)
+    sk_udf = make_hyperminhash_sketch_udf(cfg, DOC_PCFG.shingle)
+    card = make_hyperminhash_cardinality_udf(cfg)
+    sk = docs.select("doc_id", sk_udf(F.col("text")).alias("registers"))
+    return sk.select(
+        "doc_id", F.round(card("registers")).cast(LongType()).alias("est_shingles")
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     from set_sketch_paper_spark.operators.multimodal import (
         extract_image_features,
@@ -395,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "winnow_substring_pairs": _q_winnow_substring_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "minhash_est_cardinality": _q_minhash_est_cardinality,
+        "ghll_joint_pairs": _q_ghll_joint_pairs,
+        "hmh_doc_cardinality": _q_hmh_doc_cardinality,
         "multimodal_features": _q_multimodal_features,
     }
 

@@ -82,6 +82,29 @@ class SetSketchConfig:
 
 
 @dataclass(frozen=True)
+class HyperMinHashConfig:
+    """HyperMinHash (cf. sketch.hpp:1873-1936): m = 2^bucketbits registers,
+    each packing an HLL level (bucketsize bits of range) with a uniform
+    subbucket of subbucketsize bits."""
+
+    bucketbits: int = 10
+    bucketsize: int = 6
+    subbucketsize: int = 10
+    seed: int = 0x4D48_0001
+
+    @property
+    def num_registers(self) -> int:
+        return 1 << self.bucketbits
+
+    @property
+    def dtype(self) -> str:
+        return "uint32"
+
+    def config_hash(self) -> str:
+        return _stable_hash({"kind": "hyperminhash", **asdict(self)})
+
+
+@dataclass(frozen=True)
 class ShingleConfig:
     """Tokenization + k-shingling of document/file content."""
 

@@ -62,31 +62,30 @@ def make_winnow_fingerprint_udf(sh: ShingleConfig, window: int = 8):
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts.tolist():
-            toks = tokenize(text or "", sh.token_pattern, sh.lowercase)
-            th = token_hashes(toks, sh.seed)
-            # positional (non-deduplicated) k-gram hashes
-            from ..sketchlib.shingle import _TOKEN_SALT
-            from ..sketchlib.hashing import splitmix64
+        from numpy.lib.stride_tricks import sliding_window_view
 
-            n = len(th)
-            k = min(sh.k, n) if n else 0
-            if n == 0:
-                out.append([])
-                continue
-            s = th[: n - k + 1].copy()
-            for j in range(1, k):
-                s = splitmix64(s ^ _TOKEN_SALT) ^ th[j : n - k + 1 + j]
-            s = splitmix64(s)
-            if len(s) <= window:
-                mins = np.array([s.min()], dtype=np.uint64)
+        from ..sketchlib.hashing import splitmix64
+        from ..sketchlib.shingle import _TOKEN_SALT, positional_kgram_hashes
+
+        s_flat, g_off = positional_kgram_hashes(
+            texts.tolist(), sh.k, sh.token_pattern, sh.lowercase, sh.seed
+        )
+        rows = len(g_off) - 1
+        out: list = [None] * rows
+        g_sizes = np.diff(g_off)
+        # flat sliding-window minima; per row we slice only the windows that
+        # lie fully inside that row's gram span
+        if len(s_flat) >= window:
+            wins = sliding_window_view(s_flat, window).min(axis=1)
+        for i in range(rows):
+            lo, hi = int(g_off[i]), int(g_off[i + 1])
+            if hi == lo:
+                out[i] = []
+            elif hi - lo <= window:
+                out[i] = list(u64_to_i64(np.array([s_flat[lo:hi].min()], dtype=np.uint64)))
             else:
-                from numpy.lib.stride_tricks import sliding_window_view
-
-                mins = sliding_window_view(s, window).min(axis=1)
-                mins = np.unique(mins)
-            out.append(list(u64_to_i64(np.unique(mins))))
+                mins = wins[lo : hi - window + 1]
+                out[i] = list(u64_to_i64(np.unique(mins)))
         return pd.Series(out)
 
     return _udf

@@ -102,6 +102,39 @@ def make_register_sketch_udf(cfg, shingle_cfg: ShingleConfig):
     return _udf
 
 
+def make_hyperminhash_sketch_udf(cfg, shingle_cfg: ShingleConfig):
+    """content:string -> binary HyperMinHash register array (uint32 LE)."""
+    from ..sketchlib.hyperminhash import hyperminhash_sketches_batch
+
+    @F.pandas_udf(BinaryType())
+    def _udf(content: pd.Series) -> pd.Series:
+        values, offsets = shingle_sets_batch(
+            content.tolist(), shingle_cfg.k, shingle_cfg.token_pattern,
+            shingle_cfg.lowercase, shingle_cfg.seed,
+        )
+        regs, _ = hyperminhash_sketches_batch(
+            values, offsets, cfg.bucketbits, cfg.bucketsize, cfg.subbucketsize, cfg.seed
+        )
+        return pd.Series([r.tobytes() for r in regs])
+
+    return _udf
+
+
+def make_hyperminhash_cardinality_udf(cfg, method: str = "new"):
+    """binary HyperMinHash registers -> cardinality estimate
+    (sketch.hpp:1823-1845)."""
+    from ..sketchlib.hyperminhash import HyperMinHashEstimator
+
+    @F.pandas_udf(DoubleType())
+    def _udf(states: pd.Series) -> pd.Series:
+        est = HyperMinHashEstimator(cfg.bucketbits, cfg.bucketsize, cfg.subbucketsize)
+        mat = np.vstack([np.frombuffer(s, dtype=np.uint32) for s in states])
+        vals = est.cardinality_new(mat) if method == "new" else est.cardinality_original(mat)
+        return pd.Series(vals)
+
+    return _udf
+
+
 def make_minhash_of_longs_udf(mh: MinHashConfig):
     """elements:array<long> -> sig:array<long>.
 

@@ -23,11 +23,19 @@ from ..config import LSHConfig
 
 
 def explode_bands(df: DataFrame, id_col: str = "file_id", bands_col: str = "bands") -> DataFrame:
-    """(id, bands array) -> (band_idx, band_hash, id), narrow."""
+    """(id, bands array) -> (band_idx, band_hash, id), narrow.
+
+    posexplode_outer, NOT posexplode: the plain generator injects an implicit
+    `size(bands) > 0 AND isnotnull(bands)` Filter that references the UDF
+    output before the projection, which defeats Python-UDF dedup and makes
+    Spark evaluate the signature UDF TWICE per row (seen in the formatted
+    plan as two ArrowEvalPython nodes).  Signatures always emit a full band
+    array, so the outer variant only adds a null-filter after the explode.
+    """
     return df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.col(bands_col)).alias("band_idx", "band_hash"),
-    )
+        F.posexplode_outer(F.col(bands_col)).alias("band_idx", "band_hash"),
+    ).filter(F.col("band_hash").isNotNull())
 
 
 def candidate_pairs(

@@ -33,7 +33,7 @@ from ..functions.udfs import (
 )
 from ..sketchlib.ghll import ghll_sketches_batch
 from ..sketchlib.hashing import u64_from_i64, u64_to_i64
-from ..sketchlib.minhash import minhash_signatures_batch
+from ..sketchlib.minhash import minhash_batch
 
 
 def _grouped_sketch_applier(cfg, keys: list[str], element_col: str):
@@ -43,7 +43,7 @@ def _grouped_sketch_applier(cfg, keys: list[str], element_col: str):
         elements = u64_from_i64(pdf[element_col].to_numpy(dtype=np.int64))
         offsets = np.array([0, len(elements)])
         if is_minhash:
-            sigs, _ = minhash_signatures_batch(elements, offsets, cfg.num_registers, cfg.seed)
+            sigs, _ = minhash_batch(elements, offsets, cfg.num_registers, cfg.seed, cfg.algo)
             state = [u64_to_i64(sigs[0]).tolist()]
         else:
             regs, _ = ghll_sketches_batch(

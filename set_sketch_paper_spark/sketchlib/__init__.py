@@ -17,8 +17,14 @@ from .minhash import (
     minhash_signatures_batch,
     minhash_signatures_batch_oph,
 )
-from .ghll import ghll_sketch, ghll_sketches_batch, merge_ghll
+from .ghll import ghll_sketch, ghll_sketches_batch, hll_sketches_batch, merge_ghll
 from .setsketch import merge_setsketch, setsketch_sketch, setsketches_batch
+from .hyperminhash import (
+    HyperMinHashEstimator,
+    hyperminhash_sketch,
+    hyperminhash_sketches_batch,
+    merge_hyperminhash,
+)
 from .estimators import MinHashJointEstimator, SetSketchEstimator, joint_from_jaccard
 
 __all__ = [
@@ -39,9 +45,14 @@ __all__ = [
     "ghll_sketch",
     "ghll_sketches_batch",
     "merge_ghll",
+    "hll_sketches_batch",
     "setsketch_sketch",
     "setsketches_batch",
     "merge_setsketch",
+    "hyperminhash_sketch",
+    "hyperminhash_sketches_batch",
+    "merge_hyperminhash",
+    "HyperMinHashEstimator",
     "SetSketchEstimator",
     "MinHashJointEstimator",
     "joint_from_jaccard",

@@ -66,3 +66,33 @@ def ghll_sketches_batch(
 def merge_ghll(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Element-wise max merge (sketch.hpp:876-881)."""
     return np.maximum(a, b)
+
+
+def hll_sketches_batch(
+    values: np.ndarray, offsets: np.ndarray, p: int, q: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Classic HyperLogLog registers (sketch.hpp:1063-1083): register index
+    = top p bits of the element hash, value = 1 + min(trailing_ones, q),
+    element-wise max.  The reference consumes the raw element; we mix the
+    seed in first so independent sketches of the same stream exist.
+
+    Estimate with SetSketchEstimator(q, 1/m, base=2, m, card_corr=True)
+    (HyperLogLogConfig, sketch.hpp:962-1009).
+    """
+    rows = len(offsets) - 1
+    m = 1 << p
+    dtype = np.uint8 if q + 1 <= 255 else np.uint16
+    sizes = np.diff(offsets).astype(np.int64)
+    regs_flat = np.zeros(rows * m, dtype=np.int64)
+    vals = np.asarray(values, dtype=U64)
+    if len(vals):
+        h = splitmix64(vals ^ splitmix64(np.array([seed & 0xFFFFFFFFFFFFFFFF], dtype=U64))[0])
+        idx = (h >> U64(64 - p)).astype(np.int64)
+        x = ~h  # trailing ones of h == trailing zeros of ~h
+        lb = x & (np.uint64(0) - x)
+        with np.errstate(divide="ignore"):
+            t_ones = np.where(lb > 0, np.log2(lb.astype(np.float64)), 64.0).astype(np.int64)
+        k = 1 + np.minimum(t_ones, q)
+        row_of_value = np.repeat(np.arange(rows, dtype=np.int64), sizes)
+        np.maximum.at(regs_flat, row_of_value * m + idx, k)
+    return regs_flat.reshape(rows, m).astype(dtype), sizes

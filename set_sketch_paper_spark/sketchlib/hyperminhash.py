@@ -1,0 +1,176 @@
+"""HyperMinHash kernels + estimators (vectorized numpy).
+
+Semantics follow /root/reference/c++/sketch.hpp:1873-1960 (sketch) and
+sketch.hpp:1623-1871 (estimators):
+
+- add(d): val = min(1 + trailing_ones(y), 2^bucketsize) from a 64-bit draw,
+  register index from ``bucketbits`` uniform bits, ``aug`` = subbucketsize
+  uniform bits; register takes max(state, (val << subbucketsize) | aug)
+  (sketch.hpp:1945-1958).
+- merge: element-wise max.
+- cardinality 'original': classic HLL estimator with linear-counting and
+  big-range corrections over rHLL = r >> subbucketsize, switching to the
+  minhash-augmented harmonic sum above ``limit = 2^(p+10)``
+  (sketch.hpp:1650-1674, 1831-1845 via hyperminhash.py reference impl).
+- cardinality 'new': SetSketchEstimator(q=2^bucketsize-1, a=1/m, base=2)
+  simple estimator over the HLL-state transform (sketch.hpp:1823-1826).
+- joint 'new': SetSketchEstimator(effectiveQ, 1/m, effectiveBase) joint ML
+  over the GHLL-state transform, effectiveBase = 2^(1/2^subbucketsize)
+  (sketch.hpp:1617-1621, 1712-1716, 1845-1849).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .estimators import SetSketchEstimator
+from .hashing import U64, lemire_bounded, splitmix64
+
+_K_VAL = U64(0x1717_C0DE_BA5E_0001)
+_K_IDX = U64(0x1717_C0DE_BA5E_0002)
+_K_AUG = U64(0x1717_C0DE_BA5E_0003)
+
+
+def _trailing_ones(y: np.ndarray) -> np.ndarray:
+    """Count of trailing 1-bits of each uint64 (64 for all-ones)."""
+    x = ~np.asarray(y, dtype=U64)  # trailing ones of y == trailing zeros of x
+    lb = x & (np.uint64(0) - x)  # lowest set bit (0 if x == 0)
+    with np.errstate(divide="ignore"):
+        tz = np.where(lb > 0, np.log2(lb.astype(np.float64)), 64.0)
+    return tz.astype(np.int64)
+
+
+def hyperminhash_sketches_batch(
+    values: np.ndarray,
+    offsets: np.ndarray,
+    bucketbits: int,
+    bucketsize: int,
+    subbucketsize: int,
+    seed: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """HyperMinHash registers for a batch of sets in flat layout.
+
+    Returns (registers (rows, m=2^bucketbits) uint32, set_sizes).  Empty sets
+    keep all registers 0 (the reference's initial state).
+    """
+    assert bucketbits + subbucketsize <= 64 and 1 <= bucketsize <= 6
+    rows = len(offsets) - 1
+    m = 1 << bucketbits
+    sizes = np.diff(offsets).astype(np.int64)
+    regs_flat = np.zeros(rows * m, dtype=np.int64)
+    vals = np.asarray(values, dtype=U64)
+    if len(vals):
+        skey = U64(seed & 0xFFFFFFFFFFFFFFFF)
+        y = splitmix64(vals ^ _K_VAL ^ skey)
+        val = np.minimum(1 + _trailing_ones(y), 1 << bucketsize)
+        idx = lemire_bounded(splitmix64(vals ^ _K_IDX ^ skey), m)
+        aug = (splitmix64(vals ^ _K_AUG ^ skey) & U64((1 << subbucketsize) - 1)).astype(np.int64)
+        update = (val << subbucketsize) | aug
+        row_of_value = np.repeat(np.arange(rows, dtype=np.int64), sizes)
+        np.maximum.at(regs_flat, row_of_value * m + idx, update)
+    return regs_flat.reshape(rows, m).astype(np.uint32), sizes
+
+
+def hyperminhash_sketch(
+    elements, bucketbits: int, bucketsize: int, subbucketsize: int, seed: int
+) -> np.ndarray:
+    v = np.asarray(elements, dtype=U64)
+    regs, _ = hyperminhash_sketches_batch(
+        v, np.array([0, len(v)]), bucketbits, bucketsize, subbucketsize, seed
+    )
+    return regs[0]
+
+
+def merge_hyperminhash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise max merge (sketch.hpp:1020-1023 via BaseSketch)."""
+    return np.maximum(a, b)
+
+
+class HyperMinHashEstimator:
+    """Vectorized counterpart of the reference HyperMinHashEstimator
+    (sketch.hpp:1623-1871)."""
+
+    def __init__(self, bucketbits: int, bucketsize: int, subbucketsize: int):
+        self.m = 1 << bucketbits
+        self.bucketbits = bucketbits
+        self.bucketsize = bucketsize
+        self.subbucketsize = subbucketsize
+        self.submask = (1 << subbucketsize) - 1
+        self.alpha = self._alpha(self.m)
+        self.limit = 2.0 ** (bucketbits + 10)
+        self.effective_q = ((1 << bucketsize) - 1) * (1 << subbucketsize)
+        self.effective_base = 2.0 ** (1.0 / (1 << subbucketsize))
+        self.effective_a = 1.0 / self.m
+        self.joint_estimator = SetSketchEstimator(
+            self.effective_q, self.effective_a, self.effective_base, self.m,
+            card_range_correction=True,
+        )
+        self.cardinality_estimator = SetSketchEstimator(
+            (1 << bucketsize) - 1, self.effective_a, 2.0, self.m,
+            card_range_correction=True,
+        )
+
+    @staticmethod
+    def _alpha(m: int) -> float:
+        return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+    def _rhll(self, states: np.ndarray) -> np.ndarray:
+        return np.atleast_2d(np.asarray(states, dtype=np.int64)) >> self.subbucketsize
+
+    def _to_ghll_state(self, states: np.ndarray) -> np.ndarray:
+        """transformToGeneralizedHyperLogLogState (sketch.hpp:1678-1689)."""
+        s = np.atleast_2d(np.asarray(states, dtype=np.int64))
+        rhll = s >> self.subbucketsize
+        return np.where(
+            rhll == 0, 0, np.minimum(s - self.submask, self.effective_q + 1)
+        )
+
+    def cardinality_original(self, states: np.ndarray) -> np.ndarray:
+        """estimateCardinalityOriginal (sketch.hpp:1831-1845): HLL estimate
+        with corrections, or the minhash-augmented sum above the limit."""
+        s = np.atleast_2d(np.asarray(states, dtype=np.int64))
+        rhll = s >> self.subbucketsize
+        # hll_estimator (sketch.hpp:1650-1674)
+        harm = np.sum(np.exp2(-rhll.astype(np.float64)), axis=1)
+        v_zero = np.sum(rhll == 0, axis=1)
+        res = self.alpha * self.m * self.m / harm
+        with np.errstate(divide="ignore"):
+            lin = self.m * np.log(self.m / np.where(v_zero > 0, v_zero, 1).astype(np.float64))
+        res2 = np.where(
+            res <= 2.5 * self.m,
+            np.where(v_zero != 0, lin, res),
+            np.where(
+                res <= (2.0**32) / 30.0,
+                res,
+                -(2.0**32) * np.log1p(-np.minimum(res / 2.0**32, 1.0 - 1e-300)),
+            ),
+        )
+        if self.bucketsize == 0:
+            return res2
+        aug = np.sum(
+            (1.0 + (s & self.submask).astype(np.float64) / (1 << self.subbucketsize))
+            * np.exp2(-rhll.astype(np.float64)),
+            axis=1,
+        )
+        return np.where(res2 < self.limit, res2, self.m * self.m / aug)
+
+    def cardinality_new(self, states: np.ndarray) -> np.ndarray:
+        """estimateCardinalityNew (sketch.hpp:1823-1826)."""
+        return self.cardinality_estimator.cardinality_simple(self._rhll(states))
+
+    def joint_new(self, s1: np.ndarray, s2: np.ndarray):
+        """estimateJointNew (sketch.hpp:1837-1849): joint ML over the GHLL
+        transform with 'new' cardinalities."""
+        c1 = self.cardinality_new(s1)
+        c2 = self.cardinality_new(s2)
+        return self.joint_estimator.joint_new(
+            self._to_ghll_state(s1), self._to_ghll_state(s2), card1=c1, card2=c2
+        )
+
+    def joint_incl_excl(self, s1: np.ndarray, s2: np.ndarray):
+        """estimateJointInclExcl (sketch.hpp:1851-1854)."""
+        return self.cardinality_estimator.joint_incl_excl(
+            self._rhll(s1), self._rhll(s2)
+        )

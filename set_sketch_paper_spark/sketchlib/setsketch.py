@@ -15,13 +15,23 @@ per-element state — which is what makes the kernel safe to re-run on any
 partition/retry (SURVEY.md §7.3).  The min over elements is taken on the
 raw uniforms (-log1p(-u) is monotone increasing), deferring the log so only
 m logs per set are needed.
+
+This kernel also covers **SetSketch2** (sketch.hpp:1311-1372): SS2 is a
+cheaper *sequential sampler* for the same target register law, drawing
+points from the fixed gammaTimesAInv grid with truncated-exponential
+interpolation; the reference itself notes its register values are slightly
+correlated at small cardinalities (limitFactor comment, sketch.hpp:1255).
+The same SetSketchEstimator serves both (SetSketchConfig2 ctor,
+sketch.hpp:1250).  Porting SS2's per-element grid walk would be strictly
+worse here: sequential, state-carrying, and non-vectorizable — our direct
+i.i.d. sampler realizes the exact distribution both variants target.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .hashing import U64, derive_keys, splitmix64, u64_to_unit
+from .hashing import U64, derive_keys, lemire_bounded, splitmix64, u64_to_unit
 from .ghll import geometric_level
 
 _CHUNK_BUDGET = 8_000_000
@@ -43,29 +53,69 @@ def setsketches_batch(
     Returns (registers (rows, m) uint8/uint16, set_sizes (rows,)).
     Empty sets keep all registers at 0 (the reference's initial state,
     sketch.hpp:851).
+
+    Sampling uses the order-statistic decomposition of m i.i.d. Exp(a)
+    draws: the minimum X_(1) ~ Exp(a*m) lands on a uniform register index,
+    and by memorylessness the other m-1 registers get X_(1) + i.i.d. Exp(a).
+    The joint law is identical to per-register i.i.d. draws, but the
+    element's best possible level is map(X_(1)) — ONE hash — which gives
+    the reference's lower-bound skip (RegistersWithLowerBound,
+    sketch.hpp:767-841; consumed at sketch.hpp:1182) in vectorized form:
+    once a set's registers all exceed a level, almost every further element
+    is rejected after a single hash, so a 10^7-element stream costs
+    O(n + m log n * m) instead of O(n*m).  Elements are processed in chunks
+    with the per-row bound refreshed between chunks; within a chunk the
+    bound is the one from the previous chunk (a stale bound only admits
+    extra elements — never rejects one that could update, so the result is
+    exact for any chunking).
     """
     rows = len(offsets) - 1
     dtype = np.uint8 if q + 1 <= 255 else np.uint16
-    keys = derive_keys(seed ^ 0x5E5C, m)
     sizes = np.diff(offsets).astype(np.int64)
-    regs = np.zeros((rows, m), dtype=dtype)
+    regs = np.zeros((rows, m), dtype=np.int64)
     vals = np.asarray(values, dtype=U64)
     if len(vals) == 0:
-        return regs, sizes
-    nonempty = sizes > 0
-    starts = offsets[:-1][nonempty]
-    reg_chunk = max(1, _CHUNK_BUDGET // max(1, len(vals)))
-    for c0 in range(0, m, reg_chunk):
-        c1 = min(m, c0 + reg_chunk)
-        h = splitmix64(vals[:, None] ^ keys[None, c0:c1])
-        # X_e = -log1p(-u_e)/a is increasing in u_e, so
-        # min over elements of Exp(a) draws == -log1p(-min u)/a
-        umin = np.minimum.reduceat(h, starts, axis=0)
-        x = -np.log1p(-u64_to_unit(umin)) / a
-        # x == 0 (u == max) maps to level q+1; x > 1 maps to 0
+        return regs.astype(dtype), sizes
+
+    keys = derive_keys(seed ^ 0x5E5C, m)
+    skey_min = splitmix64(np.array([(seed ^ 0x51E5C) & 0xFFFFFFFFFFFFFFFF], dtype=U64))[0]
+    skey_idx = splitmix64(np.array([(seed ^ 0x1D35C) & 0xFFFFFFFFFFFFFFFF], dtype=U64))[0]
+    row_of_value = np.repeat(np.arange(rows, dtype=np.int64), sizes)
+    r_min = np.zeros(rows, dtype=np.int64)  # per-row register minimum
+
+    n = len(vals)
+    chunk = max(1, _CHUNK_BUDGET // max(1, m))
+    for c0 in range(0, n, chunk):
+        c1 = min(n, c0 + chunk)
+        v = vals[c0:c1]
+        rws = row_of_value[c0:c1]
+        # X_(1) ~ Exp(a*m); skip the element when even its best level
+        # cannot exceed the row's current register minimum
+        u0 = u64_to_unit(splitmix64(v ^ skey_min))
+        x_min = -np.log1p(-u0) / (a * m)
+        k_best = np.where(x_min > 0.0, geometric_level(x_min, base, q), float(q + 1)).astype(np.int64)
+        live = k_best > r_min[rws]
+        if not np.any(live):
+            continue
+        v = v[live]
+        rws = rws[live]
+        x_min = x_min[live]
+        k_best = k_best[live]
+        # full vector for survivors: x_j = x_min + Exp(a), overwritten at the
+        # uniformly-chosen argmin register with x_min itself
+        h = splitmix64(v[:, None] ^ keys[None, :])
+        x = x_min[:, None] + (-np.log1p(-u64_to_unit(h)) / a)
         k = np.where(x > 0.0, geometric_level(x, base, q), float(q + 1)).astype(np.int64)
-        regs[nonempty, c0:c1] = k.astype(dtype)
-    return regs, sizes
+        idx0 = lemire_bounded(splitmix64(v ^ skey_idx), m)
+        k[np.arange(len(v)), idx0] = k_best
+        # survivors stay row-sorted under boolean masking, so the per-row
+        # max over their k-vectors is one reduceat (buffered, ~50x faster
+        # than an unbuffered maximum.at scatter)
+        touched, row_starts = np.unique(rws, return_index=True)
+        kmax = np.maximum.reduceat(k, row_starts, axis=0)
+        regs[touched] = np.maximum(regs[touched], kmax)
+        r_min[touched] = regs[touched].min(axis=1)
+    return regs.astype(dtype), sizes
 
 
 def merge_setsketch(a: np.ndarray, b: np.ndarray) -> np.ndarray:

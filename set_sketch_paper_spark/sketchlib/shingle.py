@@ -101,6 +101,69 @@ def _shingle_sets_batch_ref(
     return values, offsets
 
 
+def positional_kgram_hashes(
+    texts, k: int, pattern: str = r"\S+", lowercase: bool = False, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """POSITIONAL (non-deduplicated, document-order) k-gram hashes for a
+    batch, flat (values, offsets) layout.  Same hash construction as
+    ``shingle_sets_batch`` minus the per-row dedup/sort; rows shorter than k
+    yield one gram over all their tokens; empty rows yield none.  Feeds
+    winnowing (window minima need document order)."""
+    th_flat, tok_off, lens = _token_hashes_flat(texts, pattern, lowercase, seed)
+    n_docs = len(lens)
+    g_sizes = np.where(lens > 0, np.maximum(lens - k + 1, 1), 0)
+    g_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(g_sizes, out=g_off[1:])
+    out = np.empty(int(g_off[-1]), dtype=U64)
+    total = len(th_flat)
+    if total == 0:
+        return out, g_off
+
+    if total >= k:
+        nwin = total - k + 1
+        s = th_flat[:nwin].copy()
+        for j in range(1, k):
+            s = splitmix64(s ^ _TOKEN_SALT)
+            s ^= th_flat[j : nwin + j]
+        s = splitmix64(s)
+        long_rows = np.flatnonzero(lens >= k)
+        for i in long_rows:  # slice copies only; no per-gram work
+            out[g_off[i] : g_off[i + 1]] = s[tok_off[i] : tok_off[i] + g_sizes[i]]
+
+    short = np.flatnonzero((lens > 0) & (lens < k))
+    if len(short):
+        max_len = int(lens[short].max())
+        sv = th_flat[tok_off[short]].copy()
+        for j in range(1, max_len):
+            live = lens[short] > j
+            idx = tok_off[short[live]] + j
+            sv[live] = splitmix64(sv[live] ^ _TOKEN_SALT) ^ th_flat[idx]
+        out[g_off[short]] = splitmix64(sv)
+    return out, g_off
+
+
+def _token_hashes_flat(texts, pattern, lowercase, seed):
+    """Tokenize + hash a batch: flat token-hash array, token offsets, lens."""
+    import pandas as pd
+    from itertools import chain
+
+    n_docs = len(texts)
+    tok_lists = [tokenize(t or "", pattern, lowercase) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n_docs)
+    total = int(lens.sum())
+    tok_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=tok_off[1:])
+    if total == 0:
+        return np.empty(0, dtype=U64), tok_off, lens
+    flat_tokens = np.empty(total, dtype=object)
+    flat_tokens[:] = list(chain.from_iterable(tok_lists))
+    codes, uniques = pd.factorize(flat_tokens)
+    distinct = np.fromiter((_fnv1a(t) for t in uniques), dtype=U64, count=len(uniques))
+    salt = U64((seed * int(_MIX1)) & 0xFFFFFFFFFFFFFFFF)
+    th_flat = splitmix64(distinct ^ salt)[codes]
+    return th_flat, tok_off, lens
+
+
 def shingle_sets_batch(
     texts, k: int, pattern: str = r"\S+", lowercase: bool = False, seed: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -118,29 +181,14 @@ def shingle_sets_batch(
     k-gram rolling combine + per-row dedup are flat numpy passes with
     row-boundary masking — no per-document Python loop.
     """
-    import pandas as pd
-
     n_docs = len(texts)
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     if n_docs == 0:
         return np.empty(0, dtype=U64), offsets
-    tok_lists = [tokenize(t or "", pattern, lowercase) for t in texts]
-    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n_docs)
-    total = int(lens.sum())
+    th_flat, tok_off, lens = _token_hashes_flat(texts, pattern, lowercase, seed)
+    total = len(th_flat)
     if total == 0:
         return np.empty(0, dtype=U64), offsets
-
-    from itertools import chain
-
-    flat_tokens = np.empty(total, dtype=object)
-    flat_tokens[:] = list(chain.from_iterable(tok_lists))
-    codes, uniques = pd.factorize(flat_tokens)
-    distinct = np.fromiter((_fnv1a(t) for t in uniques), dtype=U64, count=len(uniques))
-    salt = U64((seed * int(_MIX1)) & 0xFFFFFFFFFFFFFFFF)
-    th_flat = splitmix64(distinct ^ salt)[codes]
-
-    tok_off = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(lens, out=tok_off[1:])
     row_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
 
     row_parts: list[np.ndarray] = []  # (row_id, value) pair sources

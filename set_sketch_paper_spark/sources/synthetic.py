@@ -59,9 +59,9 @@ def _bg_row_id(bg_index: int) -> int:
     return (bg_index // 60) * 100 + (bg_index % 60)
 
 
-def _background_tokens(row_id: int, seed: int) -> np.ndarray:
+def _background_tokens(row_id: int, seed: int, token_scale: int = 1) -> np.ndarray:
     rng = np.random.RandomState((seed * 1_000_003 + row_id) % (2**31 - 1))
-    n = int(rng.randint(50, 400))
+    n = int(rng.randint(50, 400)) * token_scale
     return rng.randint(0, _VOCAB_SIZE, size=n)
 
 
@@ -88,14 +88,19 @@ def prototype_of(row_id: int, n_rows: int) -> int | None:
     return None
 
 
-def make_content_tokens(row_id: int, n_rows: int, seed: int) -> np.ndarray:
+def make_content_tokens(
+    row_id: int, n_rows: int, seed: int, token_scale: int = 1
+) -> np.ndarray:
+    """token_scale scales every document's length (1 = the original fixture;
+    benches use larger values for realistic source-file sizes without
+    changing the planted duplicate structure or rng streams)."""
     kind = row_kind(row_id)
     if kind == KIND_BACKGROUND:
-        return _background_tokens(row_id, seed)
+        return _background_tokens(row_id, seed, token_scale)
     if kind == KIND_EXACT:
-        return _background_tokens(prototype_of(row_id, n_rows), seed)
+        return _background_tokens(prototype_of(row_id, n_rows), seed, token_scale)
     if kind == KIND_NEAR:
-        proto = _background_tokens(prototype_of(row_id, n_rows), seed)
+        proto = _background_tokens(prototype_of(row_id, n_rows), seed, token_scale)
         r = row_id % 100
         ndup_seq = (row_id // 100) * 15 + (r - 60)
         eps = [0.01, 0.05, 0.1, 0.2][ndup_seq % 4]
@@ -106,7 +111,7 @@ def make_content_tokens(row_id: int, n_rows: int, seed: int) -> np.ndarray:
         toks[pos] = rng.randint(0, _VOCAB_SIZE, size=len(pos))
         return toks
     if kind == KIND_SUBSTRING:
-        proto = _background_tokens(prototype_of(row_id, n_rows), seed)
+        proto = _background_tokens(prototype_of(row_id, n_rows), seed, token_scale)
         block = proto[: max(128, min(len(proto), 256))]
         rng = np.random.RandomState((seed * 23_456_789 + row_id) % (2**31 - 1))
         pre = rng.randint(0, _VOCAB_SIZE, size=int(rng.randint(200, 400)))
@@ -118,7 +123,7 @@ def make_content_tokens(row_id: int, n_rows: int, seed: int) -> np.ndarray:
     return np.concatenate([_boiler_header(seed), tail])
 
 
-def gen_rows(row_ids, n_rows: int, seed: int = 42) -> pd.DataFrame:
+def gen_rows(row_ids, n_rows: int, seed: int = 42, token_scale: int = 1) -> pd.DataFrame:
     """The generator: identical output whether called on the driver or
     inside mapInPandas partitions."""
     import hashlib
@@ -126,7 +131,7 @@ def gen_rows(row_ids, n_rows: int, seed: int = 42) -> pd.DataFrame:
     recs = []
     for row_id in row_ids:
         row_id = int(row_id)
-        toks = make_content_tokens(row_id, n_rows, seed)
+        toks = make_content_tokens(row_id, n_rows, seed, token_scale)
         lang = _LANGS[row_id % len(_LANGS)]
         commit = hashlib.sha256(f"{seed}:{row_id}".encode()).hexdigest()[:40]
         recs.append(
@@ -148,7 +153,8 @@ def files_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
     return gen_rows(range(n_rows), n_rows, seed)
 
 
-def files_table(spark, n_rows: int, seed: int = 42, partitions: int | None = None):
+def files_table(spark, n_rows: int, seed: int = 42, partitions: int | None = None,
+                token_scale: int = 1):
     """Distributed generation: spark.range -> mapInPandas, no driver data."""
     schema = "row_id long, repo string, path string, commit string, lang string, content string"
     if partitions is None:
@@ -156,7 +162,7 @@ def files_table(spark, n_rows: int, seed: int = 42, partitions: int | None = Non
 
     def gen(iterator):
         for pdf in iterator:
-            yield gen_rows(pdf["id"].tolist(), n_rows, seed)
+            yield gen_rows(pdf["id"].tolist(), n_rows, seed, token_scale)
 
     return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, schema)
 

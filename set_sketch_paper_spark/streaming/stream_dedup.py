@@ -37,7 +37,8 @@ def stream_signatures(stream: DataFrame, pcfg: PipelineConfig, content_col: str 
     return with_minhash_signature(stream, pcfg, content_col)
 
 
-def foreach_batch_near_dup(pcfg: PipelineConfig, signature_store_path: str, id_col: str = "doc_id"):
+def foreach_batch_near_dup(pcfg: PipelineConfig, signature_store_path: str,
+                           id_col: str = "doc_id", content_col: str = "content"):
     """foreachBatch hook: sketch the micro-batch, append to the signature
     store, and emit LSH candidates of new rows vs the store.
 
@@ -52,7 +53,7 @@ def foreach_batch_near_dup(pcfg: PipelineConfig, signature_store_path: str, id_c
         from ..operators import lsh as lsh_ops
 
         spark = batch_df.sparkSession
-        signed = with_minhash_signature(batch_df, pcfg).select(id_col, "sig", "bands")
+        signed = with_minhash_signature(batch_df, pcfg, content_col).select(id_col, "sig", "bands")
         signed.write.mode("append").parquet(signature_store_path)
         store = spark.read.parquet(signature_store_path)
         pairs = lsh_ops.candidate_pairs(store, pcfg.lsh, id_col=id_col)

