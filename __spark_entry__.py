@@ -427,6 +427,31 @@ def _q_hmh_doc_cardinality(spark, sf_dir):
     )
 
 
+def _q_cardinality_error_mc(spark, sf_dir):
+    """Distributed Monte-Carlo GHLL cardinality bias/RMSE harness
+    (cardinality_test.cpp restated; rows-only — accuracy is asserted
+    against closed-form theory in tests/test_mc_bench.py)."""
+    from set_sketch_paper_spark.operators.mc_bench import cardinality_error_mc
+
+    df = cardinality_error_mc(spark, num_examples=100)
+    return df.select(
+        "cardinality", "n_examples",
+        F.round(F.col("rel_rmse") * 1000).cast(LongType()).alias("rel_rmse_k"),
+    )
+
+
+def _q_joint_error_mc(spark, sf_dir):
+    """Distributed Monte-Carlo MinHash Jaccard RMSE harness
+    (joint_estimation_test.cpp restated; rows-only)."""
+    from set_sketch_paper_spark.operators.mc_bench import joint_error_mc
+
+    df = joint_error_mc(spark, num_examples=100)
+    return df.select(
+        "inter", "d1", "d2", "n_examples",
+        F.round(F.col("rmse") * 1000).cast(LongType()).alias("rmse_k"),
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     from set_sketch_paper_spark.operators.multimodal import (
         extract_image_features,
@@ -473,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_est_cardinality": _q_minhash_est_cardinality,
         "ghll_joint_pairs": _q_ghll_joint_pairs,
         "hmh_doc_cardinality": _q_hmh_doc_cardinality,
+        "cardinality_error_mc": _q_cardinality_error_mc,
+        "joint_error_mc": _q_joint_error_mc,
         "multimodal_features": _q_multimodal_features,
     }
 

@@ -1,0 +1,122 @@
+"""Distributed Monte-Carlo estimator-accuracy harnesses.
+
+Spark restatement of the reference's benchmark drivers (SURVEY.md §3.1-3.2):
+the OpenMP fork-join over examples (cardinality_test.cpp:62-63,
+joint_estimation_test.cpp:151-152) becomes partition parallelism over
+`spark.range(num_examples)`, the per-example private sketch becomes a
+numpy row inside a mapInPandas batch, and the final mean/MSE/stddev/kurtosis
+reduction (util.hpp:33-76) becomes built-in DataFrame aggregates.
+
+Every example is a pure function of (example_id, config) — fixed seeds per
+example (cardinality_test.cpp:52-60) — so results are identical at any
+parallelism or partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def cardinality_error_mc(
+    spark: SparkSession,
+    cardinalities=(100, 1000, 10_000),
+    num_examples: int = 200,
+    m: int = 256,
+    base: float = 2.0,
+    q: int = 62,
+    seed: int = 77,
+) -> DataFrame:
+    """Per-cardinality bias/RMSE of the GHLL simple estimator
+    (cardinality_test.cpp protocol at reduced scale).
+
+    Output: (cardinality, n_examples, mean_est, rel_bias, rel_rmse,
+    stddev_est, kurtosis_err)."""
+    cards = list(cardinalities)
+
+    def gen(iterator):
+        import pandas as pd
+
+        from ..sketchlib.estimators import SetSketchEstimator
+        from ..sketchlib.ghll import ghll_sketches_batch
+
+        est = SetSketchEstimator(q, 1.0 / m, base, m, card_range_correction=True)
+        for pdf in iterator:
+            out = []
+            for ex in pdf["id"].tolist():
+                rng = np.random.RandomState((seed * 1_000_003 + ex) % (2**31 - 1))
+                for card in cards:
+                    data = rng.randint(0, 2**63, size=card, dtype=np.int64).view(np.uint64)
+                    regs, _ = ghll_sketches_batch(
+                        data, np.array([0, card]), m, base, q, seed
+                    )
+                    out.append((ex, card, float(est.cardinality_simple(regs)[0])))
+            yield pd.DataFrame(out, columns=["example", "cardinality", "estimate"])
+
+    examples = spark.range(num_examples, numPartitions=min(64, num_examples))
+    ests = examples.mapInPandas(gen, "example long, cardinality long, estimate double")
+    err = (F.col("estimate") - F.col("cardinality")) / F.col("cardinality")
+    return (
+        ests.groupBy("cardinality")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.avg("estimate").alias("mean_est"),
+            F.avg(err).alias("rel_bias"),
+            F.sqrt(F.avg(err * err)).alias("rel_rmse"),
+            F.stddev_pop("estimate").alias("stddev_est"),
+            F.kurtosis(err).alias("kurtosis_err"),
+        )
+        .orderBy("cardinality")
+    )
+
+
+def joint_error_mc(
+    spark: SparkSession,
+    tuples=((600, 300, 300), (500, 250, 250), (900, 50, 50)),
+    num_examples: int = 200,
+    m: int = 256,
+    seed: int = 78,
+) -> DataFrame:
+    """Jaccard estimation error per (intersection, d1, d2) tuple for the
+    MinHash 'original' estimator (joint_estimation_test.cpp protocol,
+    reduced).  Output: (inter, d1, d2, true_jaccard, mean_est, rmse)."""
+    tup = list(tuples)
+
+    def gen(iterator):
+        import pandas as pd
+
+        from ..sketchlib.estimators import MinHashJointEstimator
+        from ..sketchlib.minhash import minhash_signatures_batch
+
+        est = MinHashJointEstimator(m)
+        for pdf in iterator:
+            out = []
+            for ex in pdf["id"].tolist():
+                rng = np.random.RandomState((seed * 999_983 + ex) % (2**31 - 1))
+                for inter, d1, d2 in tup:
+                    shared = rng.randint(0, 2**63, size=inter, dtype=np.int64).view(np.uint64)
+                    a = np.concatenate([shared, rng.randint(0, 2**63, size=d1, dtype=np.int64).view(np.uint64)])
+                    b = np.concatenate([shared, rng.randint(0, 2**63, size=d2, dtype=np.int64).view(np.uint64)])
+                    v = np.concatenate([a, b])
+                    o = np.array([0, len(a), len(a) + len(b)])
+                    sigs, _ = minhash_signatures_batch(v, o, m, seed)
+                    r = est.joint_original(sigs[0], sigs[1])
+                    out.append((ex, inter, d1, d2, float(r["jaccard"][0])))
+            yield pd.DataFrame(out, columns=["example", "inter", "d1", "d2", "est_jaccard"])
+
+    examples = spark.range(num_examples, numPartitions=min(64, num_examples))
+    ests = examples.mapInPandas(
+        gen, "example long, inter long, d1 long, d2 long, est_jaccard double"
+    )
+    true_j = F.col("inter") / (F.col("inter") + F.col("d1") + F.col("d2"))
+    err = F.col("est_jaccard") - true_j
+    return (
+        ests.groupBy("inter", "d1", "d2")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.first(true_j).alias("true_jaccard"),
+            F.avg("est_jaccard").alias("mean_est"),
+            F.sqrt(F.avg(err * err)).alias("rmse"),
+        )
+        .orderBy("inter", "d1", "d2")
+    )
