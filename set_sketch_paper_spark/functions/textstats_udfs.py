@@ -13,7 +13,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from ..config import ShingleConfig
 from ..sketchlib.hashing import u64_to_i64
-from ..sketchlib.shingle import shingle_sets_batch, token_hashes, tokenize
+from ..sketchlib.shingle import shingle_sets_batch
 
 
 def make_simhash_udf(sh: ShingleConfig):
