@@ -175,6 +175,22 @@ def _q_label_centroids(spark, sf_dir):
     return label_centroids_quantized(_tbl(spark, sf_dir, "embeddings"))
 
 
+def _q_embedding_near_dup_pairs(spark, sf_dir):
+    from set_sketch_paper_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold_q=400_000)
+
+
+def _q_embedding_near_dup_clusters(spark, sf_dir):
+    from set_sketch_paper_spark.operators.clustering import connected_components
+    from set_sketch_paper_spark.operators.similarity import cosine_near_dup_pairs
+
+    edges = cosine_near_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold_q=400_000)
+    return connected_components(edges).select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+
+
 def _q_events_histogram(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     return ev.groupBy(
@@ -477,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_exact": _q_dup_clusters_exact,
         "ann_topk": _q_ann_topk,
         "label_centroids": _q_label_centroids,
+        "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
+        "embedding_near_dup_clusters": _q_embedding_near_dup_clusters,
         "events_histogram": _q_events_histogram,
         "distinct_users_exact": _q_distinct_users_exact,
         "moments_by_returnflag": _q_moments_by_returnflag,
@@ -590,6 +608,22 @@ FROM sc
 """
 
 
+_EMB_PAIRS_CTE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         CAST(round(1000000
+           * CAST(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) AS BIGINT)
+           / sqrt(CAST(CAST(list_sum(list_transform(a.v, x -> x * x)) AS BIGINT)
+                       * CAST(list_sum(list_transform(b.v, x -> x * x)) AS BIGINT) AS DOUBLE))) AS BIGINT) AS cos_q
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     ngram3 = _ngram_cte(3) + _NGRAM_PAIRS_BODY.format(num=1, den=2)
     return {
@@ -658,6 +692,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
             GROUP BY label, i
         """,
+        "embedding_near_dup_pairs": _EMB_PAIRS_CTE + """
+SELECT id1, id2, cos_q FROM scored WHERE cos_q >= 400000
+        """,
+        "embedding_near_dup_clusters": (
+            "WITH RECURSIVE " + _EMB_PAIRS_CTE.lstrip()[len("WITH "):] + """
+, pairs AS (
+  SELECT id1, id2 FROM scored WHERE cos_q >= 400000
+), sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS n FROM sym
+), reach AS (
+  SELECT n, n AS l FROM nodes
+  UNION
+  SELECT e.b AS n, r.l AS l FROM reach r JOIN sym e ON e.a = r.n
+)
+SELECT n AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+"""
+        ),
         "events_histogram": """
             SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket, COUNT(*) AS cnt
             FROM events GROUP BY event_type, CAST(floor(value) AS BIGINT)

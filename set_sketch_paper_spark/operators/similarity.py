@@ -150,6 +150,39 @@ def hyperplane_ann_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold_q: int = 990_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: (id1 < id2, cos_q) with
+    cos_q = round(1e6 * cosine) >= threshold_q over integer-quantized
+    vectors (deterministic, SQL-oracle-exact).  Brute-force O(n^2) — the
+    correctness baseline; at scale route through hyperplane_ann_topk
+    buckets first and reuse the same scoring expression."""
+    q = corpus.select(
+        F.col(id_col).alias("id1"), _quantized(F.col(vec_col)).alias("qv")
+    ).withColumn("qnorm", _dot(F.col("qv"), F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("id2"), _quantized(F.col(vec_col)).alias("cv")
+    ).withColumn("cnorm", _dot(F.col("cv"), F.col("cv")))
+    pairs = q.crossJoin(c).filter(F.col("id1") < F.col("id2"))
+    return (
+        pairs.withColumn("dot", _dot(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_q",
+            F.round(
+                F.lit(1_000_000)
+                * F.col("dot")
+                / F.sqrt((F.col("qnorm") * F.col("cnorm")).cast("double"))
+            ).cast(LongType()),
+        )
+        .filter(F.col("cos_q") >= threshold_q)
+        .select("id1", "id2", "cos_q")
+    )
+
+
 def label_centroids_quantized(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     label_col: str = "label",

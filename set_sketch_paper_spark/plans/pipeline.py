@@ -124,6 +124,69 @@ class NearDupPipeline:
         )
         return out.drop("_stage", "_config_hash", "_run_id")
 
+    def _stage_bucketed_table(
+        self, spark: SparkSession, name: str, build, bucket_col: str, n_buckets: int
+    ) -> DataFrame:
+        """Checkpoint a stage as a parquet table bucketed+sorted by
+        ``bucket_col``: downstream equi-joins on that column scan the table
+        in place (no Exchange on this side).  Resume semantics match the
+        path-based checkpoint (config hash in the manifest)."""
+        table = f"ssp_{name}_{self.pcfg.config_hash()[:12]}"
+        d = self._stage_dir(name)
+        t0 = time.time()
+        if d and os.path.exists(self._manifest_path(d)):
+            with open(self._manifest_path(d)) as f:
+                manifest = json.load(f)
+            if (
+                manifest.get("config_hash") == self.pcfg.config_hash()
+                and spark.catalog.tableExists(table)
+            ):
+                out = spark.table(table)
+                self.metrics.append(
+                    StageMetrics(name, -1, 0.0, True, out.rdd.getNumPartitions())
+                )
+                return out
+        df = build()
+        # a fresh session has an empty catalog, but the managed-table
+        # LOCATION from a previous session may survive on disk — drop both
+        # or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table)
+        if os.path.exists(loc):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .saveAsTable(table)
+        )
+        out = spark.table(table)
+        rows = out.count()
+        if d:
+            os.makedirs(d, exist_ok=True)
+            with open(self._manifest_path(d), "w") as f:
+                json.dump(
+                    {
+                        "stage": name,
+                        "run_id": self.run_id,
+                        "config_hash": self.pcfg.config_hash(),
+                        "rows": rows,
+                        "table": table,
+                        "buckets": n_buckets,
+                        "seconds": time.time() - t0,
+                    },
+                    f,
+                    indent=1,
+                )
+        self.metrics.append(
+            StageMetrics(name, rows, time.time() - t0, False, out.rdd.getNumPartitions())
+        )
+        return out
+
     def _stage(self, spark: SparkSession, name: str, build) -> DataFrame:
         resumed = self._try_resume(spark, name)
         if resumed is not None:
@@ -168,13 +231,15 @@ class NearDupPipeline:
             .select("file_id", content_col)
         )
 
-        signatures = self._stage(
-            spark,
-            "signatures",
-            lambda: with_minhash_signature(rep_rows, self.pcfg, content_col).select(
-                "file_id", "sig", "bands", "n_shingles"
-            ),
+        sig_build = lambda: with_minhash_signature(rep_rows, self.pcfg, content_col).select(
+            "file_id", "sig", "bands", "n_shingles"
         )
+        if self.pcfg.sig_buckets > 0:
+            signatures = self._stage_bucketed_table(
+                spark, "signatures", sig_build, "file_id", self.pcfg.sig_buckets
+            )
+        else:
+            signatures = self._stage(spark, "signatures", sig_build)
 
         candidates = self._stage(
             spark,

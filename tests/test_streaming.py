@@ -172,3 +172,41 @@ def test_windowed_agg_with_watermark(spark, tmp_path):
     }
     assert got == want
     assert len(got) >= 2
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """Byte-identical content arriving within the watermark window is
+    dropped; distinct content flows through."""
+    import pandas as pd
+
+    from set_sketch_paper_spark.streaming.stream_dedup import stream_exact_dedup
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    rows = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:01", "2026-01-01 00:00:02",
+                 "2026-01-01 00:00:03", "2026-01-01 00:00:04"]
+            ),
+            "doc_id": [1, 2, 3, 4],
+            "content": ["alpha beta", "alpha beta", "gamma", "alpha beta"],
+        }
+    )
+    bdf = spark.createDataFrame(rows)
+    bdf.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(bdf.schema).parquet(src)
+    deduped = stream_exact_dedup(stream, content_col="content", ts_col="ts",
+                                 watermark="10 minutes")
+    out = str(tmp_path / "dout")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    contents = sorted(r["content"] for r in got.collect())
+    assert contents == ["alpha beta", "gamma"]
