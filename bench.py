@@ -144,8 +144,9 @@ def _ensure_corpus(n_files: int, seed: int = 42, token_scale: int = SCALING_TOKE
 def _sketch_lsh_throughput(spark, corpus_path: str, n_files: int, reps: int = 5) -> dict:
     """files/sec through parquet scan + sha256 + MinHash signature + LSH
     candidate pairs.  One warm-up rep (JVM codegen + python worker spin-up,
-    excluded), then median of ``reps`` reps (single-box wall times are noisy;
-    the median is the stable capacity figure)."""
+    excluded), then the MIN of ``reps`` reps per call — on a noisy shared box
+    the minimum is the capacity figure (wall times only ever drift UP with
+    neighbor load); run_scaling aggregates across interleaved rounds."""
     from set_sketch_paper_spark.config import LSHConfig, MinHashConfig, PipelineConfig, ShingleConfig
     from set_sketch_paper_spark.operators import lsh as lsh_ops
     from set_sketch_paper_spark.operators.signatures import (

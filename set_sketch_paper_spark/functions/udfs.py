@@ -197,13 +197,28 @@ def make_merge_minhash_sigs_udf():
     return _udf
 
 
+def _sig_matrix(sigs: pd.Series) -> np.ndarray:
+    """Signature column -> (rows, m) uint64 matrix.  Accepts both on-wire
+    layouts: BinaryType blobs (SIGNATURE_STRUCT's ``sig``, little-endian
+    uint64 buffer) and array<long> (the grouped-aggregate path)."""
+    if len(sigs) == 0:
+        return np.empty((0, 0), dtype=np.uint64)
+    first = sigs.iloc[0]
+    if isinstance(first, (bytes, bytearray)):
+        return np.frombuffer(b"".join(sigs), dtype=np.uint64).reshape(len(sigs), -1)
+    return u64_from_i64(np.array([np.asarray(s, dtype=np.int64) for s in sigs]))
+
+
 def make_minhash_cardinality_udf():
-    """sig:array<long> -> estimated set cardinality (sketch.hpp:1383-1389)."""
+    """sig (binary or array<long>) -> estimated set cardinality
+    (sketch.hpp:1383-1389).  Valid for DENSE signatures only: OPH densified
+    registers are copies of other bins' minima, not independent per-register
+    minima, so the harmonic estimator is biased — callers on the OPH path
+    carry the exact n_shingles column instead."""
 
     @F.pandas_udf(DoubleType())
     def _udf(sigs: pd.Series) -> pd.Series:
-        mat = u64_from_i64(np.array([np.asarray(s, dtype=np.int64) for s in sigs]))
-        return pd.Series(minhash_cardinality(mat))
+        return pd.Series(minhash_cardinality(_sig_matrix(sigs)))
 
     return _udf
 
@@ -237,23 +252,41 @@ PAIR_ESTIMATE_STRUCT = StructType(
 
 
 def make_minhash_pair_estimator_udf(mh: MinHashConfig, method: str = "original"):
-    """(sig1 binary, sig2 binary) -> struct of joint estimates.
+    """(sig1 binary, sig2 binary, n1 int, n2 int) -> struct of joint
+    estimates, where n1/n2 are the EXACT per-document shingle counts carried
+    in the signature struct (known-set-cardinality estimation,
+    sketch.hpp:1452 estimateJointOriginalWithKnownSetCardinalities).
 
     method: 'original' (equal-register fraction, sketch.hpp:1452-1461),
     'new' (closed-form ML, sketch.hpp:1475-1503), or 'incl_excl'.
     All fully vectorized across the Arrow batch.
+
+    OPH guard: densified OPH registers are copies of other bins' minima, so
+    the register-comparison counts behind 'new' and the min-merge union
+    behind 'incl_excl' are dense-only semantics; only the equal-register
+    fraction ('original') is a valid Jaccard estimator for OPH signatures
+    (Shrivastava & Li ICML'14).
     """
+    if mh.algo == "oph" and method != "original":
+        raise ValueError(
+            f"estimator method {method!r} requires dense MinHash signatures; "
+            "OPH supports only 'original' (equal-register fraction)"
+        )
     est = MinHashJointEstimator(mh.num_registers)
     fn = {"original": est.joint_original, "new": est.joint_new, "incl_excl": est.joint_incl_excl}[method]
 
     @F.pandas_udf(PAIR_ESTIMATE_STRUCT)
-    def _udf(sig1: pd.Series, sig2: pd.Series) -> pd.DataFrame:
+    def _udf(sig1: pd.Series, sig2: pd.Series, n1: pd.Series, n2: pd.Series) -> pd.DataFrame:
         cols = ["est_jaccard", "est_intersection", "est_union", "est_cosine"]
         if len(sig1) == 0:
             return pd.DataFrame({c: pd.Series(dtype=np.float64) for c in cols})
         m1 = np.frombuffer(b"".join(sig1), dtype=np.uint64).reshape(len(sig1), -1)
         m2 = np.frombuffer(b"".join(sig2), dtype=np.uint64).reshape(len(sig2), -1)
-        r = fn(m1, m2)
+        r = fn(
+            m1, m2,
+            card1=n1.to_numpy(dtype=np.float64),
+            card2=n2.to_numpy(dtype=np.float64),
+        )
         return pd.DataFrame(
             {
                 "est_jaccard": r["jaccard"],

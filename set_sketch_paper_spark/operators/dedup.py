@@ -60,7 +60,7 @@ def minhash_near_dup_pairs(
     (1 shuffle) -> verification join (2 shuffles, id-partitioned).
     """
     signed = with_minhash_signature(df.select(id_col, content_col), pcfg, content_col)
-    signed = signed.select(id_col, "sig", "bands")
+    signed = signed.select(id_col, "sig", "bands", "n_shingles")
     pairs = lsh_ops.candidate_pairs(signed, pcfg.lsh, id_col=id_col)
     est_udf = make_minhash_pair_estimator_udf(pcfg.minhash, estimator)
     return lsh_ops.verified_pairs(

@@ -87,21 +87,39 @@ def verified_pairs(
     threshold: float,
     id_col: str = "file_id",
     sig_col: str = "sig",
+    n_col: str = "n_shingles",
 ) -> DataFrame:
     """Join candidate pairs back to signatures and keep pairs whose estimated
     Jaccard >= threshold.
 
+    The exact shingle count (``n_col``, carried in the signature struct since
+    tokenization) rides along so the joint estimator runs with KNOWN set
+    cardinalities (sketch.hpp:1452) — mandatory under OPH, where the dense
+    harmonic cardinality estimator does not apply.
+
     The two joins shuffle on the id — at cluster scale both sides are
     pre-partitioned by id, so this is the co-located join of the design.  The
-    signature table is projected to (id, sig) before joining (column
+    signature table is projected to (id, sig, n) before joining (column
     pruning: never carry content or bands here).
     """
-    sig = signatures.select(F.col(id_col).alias("_sid"), F.col(sig_col).alias("_sig"))
-    joined = (
-        pairs.join(sig.withColumnRenamed("_sid", "id1").withColumnRenamed("_sig", "sig1"), "id1")
-        .join(sig.withColumnRenamed("_sid", "id2").withColumnRenamed("_sig", "sig2"), "id2")
+    sig = signatures.select(
+        F.col(id_col).alias("_sid"), F.col(sig_col).alias("_sig"), F.col(n_col).alias("_n")
     )
-    est = joined.withColumn("est", estimator_udf(F.col("sig1"), F.col("sig2")))
+    joined = (
+        pairs.join(
+            sig.withColumnRenamed("_sid", "id1").withColumnRenamed("_sig", "sig1")
+            .withColumnRenamed("_n", "n1"),
+            "id1",
+        )
+        .join(
+            sig.withColumnRenamed("_sid", "id2").withColumnRenamed("_sig", "sig2")
+            .withColumnRenamed("_n", "n2"),
+            "id2",
+        )
+    )
+    est = joined.withColumn(
+        "est", estimator_udf(F.col("sig1"), F.col("sig2"), F.col("n1"), F.col("n2"))
+    )
     return (
         est.select(
             "id1",

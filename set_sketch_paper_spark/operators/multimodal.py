@@ -81,36 +81,40 @@ def synthetic_assets(spark, n: int, seed: int = 7, partitions: int = 8) -> DataF
     return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, ASSET_SCHEMA)
 
 
+N_HIST_BINS = 16
+
+
 def extract_image_features(
     df: DataFrame, decode_backend: str = "fake"
 ) -> DataFrame:
-    """payload -> struct(mean, std, histogram[16]) via mapInPandas.
+    """payload -> (mean, std, h0..h15 histogram bins) via mapInPandas.
 
     Batch shape: the UDF receives Arrow record batches; decode + feature
     extraction is per-row numpy (media rows are large, so per-row numpy on a
-    decoded array is already vectorized work).
+    decoded array is already vectorized work).  The 16-bin histogram is
+    emitted as 16 SCALAR int columns (h0..h15) so every output column is
+    hashable/sortable for downstream canonicalization and columnar stats.
     """
     decode = _decode_fake if decode_backend == "fake" else _decode_real
 
-    out_schema = (
-        "asset_id long, kind string, mean double, std double, histogram array<int>"
-    )
+    hist_cols = ", ".join(f"h{i} int" for i in range(N_HIST_BINS))
+    out_schema = f"asset_id long, kind string, mean double, std double, {hist_cols}"
 
     def feats(iterator):
         for pdf in iterator:
             rows = []
-            for _, r in pdf.iterrows():
-                px = decode(bytes(r["payload"]), int(r["width"]), int(r["height"]))
-                hist = np.histogram(px, bins=16, range=(0, 256))[0].astype(np.int32)
-                rows.append(
-                    {
-                        "asset_id": r["asset_id"],
-                        "kind": r["kind"],
-                        "mean": float(px.mean()),
-                        "std": float(px.std()),
-                        "histogram": hist.tolist(),
-                    }
-                )
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.payload), int(r.width), int(r.height))
+                hist = np.histogram(px, bins=N_HIST_BINS, range=(0, 256))[0].astype(np.int32)
+                row = {
+                    "asset_id": r.asset_id,
+                    "kind": r.kind,
+                    "mean": float(px.mean()),
+                    "std": float(px.std()),
+                }
+                for i in range(N_HIST_BINS):
+                    row[f"h{i}"] = int(hist[i])
+                rows.append(row)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(feats, out_schema)

@@ -38,6 +38,15 @@ from ..sketchlib.minhash import minhash_batch
 
 def _grouped_sketch_applier(cfg, keys: list[str], element_col: str):
     is_minhash = isinstance(cfg, MinHashConfig)
+    if is_minhash and cfg.algo != "dense":
+        # densified OPH bins carry values COPIED from other bins, so
+        # min-merging two partials' densified signatures != the signature of
+        # the union — only dense MinHash satisfies the algebraic-aggregate
+        # merge contract (element-wise min, sketch.hpp:1599-1603)
+        raise ValueError(
+            "sketch_distinct requires MinHashConfig(algo='dense'): densified "
+            "OPH signatures are not element-wise-min mergeable"
+        )
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         elements = u64_from_i64(pdf[element_col].to_numpy(dtype=np.int64))

@@ -57,8 +57,8 @@ def oracle_near_dup(
         pcfg.shingle.lowercase,
         pcfg.shingle.seed,
     )
-    sigs, _ = minhash_batch(values, offsets, pcfg.minhash.num_registers,
-                            pcfg.minhash.seed, pcfg.minhash.algo)
+    sigs, sizes = minhash_batch(values, offsets, pcfg.minhash.num_registers,
+                                pcfg.minhash.seed, pcfg.minhash.algo)
     bands = band_hashes(sigs, pcfg.lsh.num_bands, pcfg.lsh.rows_per_band, pcfg.lsh.seed)
 
     buckets: dict = defaultdict(list)
@@ -81,7 +81,13 @@ def oracle_near_dup(
     if cand:
         i1 = np.array([c[0] for c in cand])
         i2 = np.array([c[1] for c in cand])
-        jac = est.jaccard_equal_registers(sigs[i1], sigs[i2])
+        # same known-cardinality joint_original call as the pipeline's
+        # verification UDF (identical numpy code path => bit-exact est_jaccard
+        # including the feasible-band trim in joint_from_jaccard)
+        jac = est.joint_original(
+            sigs[i1], sigs[i2],
+            card1=sizes[i1].astype(np.float64), card2=sizes[i2].astype(np.float64),
+        )["jaccard"]
         keep = jac >= pcfg.jaccard_threshold
         pairs = pd.DataFrame(
             {

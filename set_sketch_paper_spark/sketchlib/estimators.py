@@ -406,6 +406,10 @@ class MinHashJointEstimator:
         self.m = int(num_registers)
 
     def cardinality(self, states: np.ndarray) -> np.ndarray:
+        """Harmonic cardinality estimator — DENSE signatures only.  A
+        densified OPH register is the min of ~n/m elements (one hash bin),
+        not of all n, so this estimate would be off by ~m under OPH; the
+        Spark pipeline passes the exact n_shingles counts instead."""
         return minhash_cardinality(states)
 
     def joint_original(self, s1: np.ndarray, s2: np.ndarray, card1=None, card2=None):

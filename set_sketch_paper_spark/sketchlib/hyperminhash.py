@@ -147,13 +147,16 @@ class HyperMinHashEstimator:
                 -(2.0**32) * np.log1p(-np.minimum(res / 2.0**32, 1.0 - 1e-300)),
             ),
         )
-        if self.bucketsize == 0:
-            return res2
         aug = np.sum(
             (1.0 + (s & self.submask).astype(np.float64) / (1 << self.subbucketsize))
             * np.exp2(-rhll.astype(np.float64)),
             axis=1,
         )
+        # reference contract (sketch.hpp:1723-1734): the HLL estimate is used
+        # only when (hll_count < limit AND bucketsize > 0) — bucketsize == 0
+        # always falls through to the minhash-augmented sum
+        if self.bucketsize == 0:
+            return self.m * self.m / aug
         return np.where(res2 < self.limit, res2, self.m * self.m / aug)
 
     def cardinality_new(self, states: np.ndarray) -> np.ndarray:

@@ -9,6 +9,9 @@ per micro-batch via foreachBatch against a persistent signature store.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import PipelineConfig
@@ -37,10 +40,73 @@ def stream_signatures(stream: DataFrame, pcfg: PipelineConfig, content_col: str 
     return with_minhash_signature(stream, pcfg, content_col)
 
 
+def _store_manifest_path(store_path: str) -> str:
+    return os.path.join(store_path, "_STORE_MANIFEST.json")
+
+
+def check_or_write_store_manifest(store_path: str, pcfg: PipelineConfig) -> None:
+    """Refuse to mix signature states produced under different configs.
+
+    The on-wire signature layout (binary vs array) and the band semantics
+    (strided assignment, OPH densification) are functions of the pipeline
+    config; appending to a store written under a different config_hash would
+    silently produce bogus candidate pairs.  Mirrors the reference's merge
+    precondition ``assert(config == other.getConfig())`` (sketch.hpp:1021).
+    """
+    mp = _store_manifest_path(store_path)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            manifest = json.load(f)
+        if manifest.get("config_hash") != pcfg.config_hash():
+            raise ValueError(
+                f"signature store {store_path} was written with config "
+                f"{manifest.get('config_hash')}, refusing to append with "
+                f"{pcfg.config_hash()}"
+            )
+        return
+    os.makedirs(store_path, exist_ok=True)
+    with open(mp, "w") as f:
+        json.dump({"config_hash": pcfg.config_hash(), "format": "sig:binary,bands:strided"}, f)
+
+
+def incremental_candidates(
+    batch_signed: DataFrame, store: DataFrame, pcfg: PipelineConfig,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs INVOLVING the micro-batch only: band-join the batch's
+    exploded bands against the store's (new-vs-all), never all-vs-all.
+
+    Per-batch work is O(|batch| x bucket hit rate), independent of store
+    size on the batch side; the store side is one partitioned scan + hash
+    join on (band_idx, band_hash).  The small batch side is broadcast.
+    Output: (id1 < id2) distinct pairs where at least one id is new.
+    """
+    from ..operators import lsh as lsh_ops
+
+    new_bands = lsh_ops.explode_bands(batch_signed, id_col).withColumnRenamed("_id", "_new_id")
+    store_bands = lsh_ops.explode_bands(store, id_col).withColumnRenamed("_id", "_store_id")
+    # new-vs-store (store includes nothing from this batch yet) + new-vs-new
+    cross = (
+        store_bands.join(F.broadcast(new_bands), ["band_idx", "band_hash"])
+        .filter(F.col("_store_id") != F.col("_new_id"))
+        .select(
+            F.least("_store_id", "_new_id").alias("id1"),
+            F.greatest("_store_id", "_new_id").alias("id2"),
+        )
+    )
+    within = lsh_ops.candidate_pairs(batch_signed, pcfg.lsh, id_col=id_col)
+    return cross.union(within.select("id1", "id2")).dropDuplicates(["id1", "id2"])
+
+
 def foreach_batch_near_dup(pcfg: PipelineConfig, signature_store_path: str,
-                           id_col: str = "doc_id", content_col: str = "content"):
-    """foreachBatch hook: sketch the micro-batch, append to the signature
-    store, and emit LSH candidates of new rows vs the store.
+                           id_col: str = "doc_id", content_col: str = "content",
+                           sink=None):
+    """foreachBatch hook: sketch the micro-batch, emit LSH candidates of the
+    NEW rows vs the store (incremental — per-batch cost scales with batch
+    size, not corpus size), then append the batch to the store.
+
+    ``sink``: optional callable(pairs_df, batch_id) for downstream
+    verify/cluster; defaults to materializing the count.
 
     Usage::
 
@@ -50,14 +116,28 @@ def foreach_batch_near_dup(pcfg: PipelineConfig, signature_store_path: str,
     """
 
     def handle(batch_df: DataFrame, batch_id: int):
-        from ..operators import lsh as lsh_ops
-
         spark = batch_df.sparkSession
-        signed = with_minhash_signature(batch_df, pcfg, content_col).select(id_col, "sig", "bands")
+        check_or_write_store_manifest(signature_store_path, pcfg)
+        signed = (
+            with_minhash_signature(batch_df, pcfg, content_col)
+            .select(id_col, "sig", "bands", "n_shingles")
+            .localCheckpoint(eager=True)  # sketch once: reused for join + append
+        )
+        has_store = any(
+            f.endswith(".parquet") or f == "_SUCCESS"
+            for f in os.listdir(signature_store_path)
+        )
+        if has_store:
+            store = spark.read.parquet(signature_store_path)
+            pairs = incremental_candidates(signed, store, pcfg, id_col)
+        else:
+            from ..operators import lsh as lsh_ops
+
+            pairs = lsh_ops.candidate_pairs(signed, pcfg.lsh, id_col=id_col)
+        if sink is not None:
+            sink(pairs, batch_id)
+        else:
+            pairs.count()
         signed.write.mode("append").parquet(signature_store_path)
-        store = spark.read.parquet(signature_store_path)
-        pairs = lsh_ops.candidate_pairs(store, pcfg.lsh, id_col=id_col)
-        # downstream sinks would verify + cluster; here we materialize counts
-        pairs.count()
 
     return handle

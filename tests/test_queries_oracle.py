@@ -68,9 +68,13 @@ def test_query_matches_oracle(spark, duck, name):
 def test_rows_only_query_runs(spark, name):
     q = entrymod.queries()[name]
     df = q(spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
-    assert len(df.columns) > 0
+    # materialize ALL columns (toPandas), never count(): Catalyst prunes
+    # unreferenced Python-UDF columns under count(), so a broken UDF would
+    # pass a count()-based check without ever executing (the round-1
+    # minhash_est_cardinality escape)
+    pdf = df.toPandas()
+    assert len(pdf) >= 0
+    assert len(pdf.columns) > 0
 
 
 def test_entry_smoke(spark):
