@@ -218,8 +218,6 @@ def _q_moments_by_returnflag(spark, sf_dir):
 
 
 def _q_top_customers_by_spend(spark, sf_dir):
-    from pyspark.sql import Window
-
     orders = _tbl(spark, sf_dir, "orders")
     cust = _tbl(spark, sf_dir, "customer")
     cents = F.round(F.col("o_totalprice") * 100).cast(LongType())
@@ -230,12 +228,26 @@ def _q_top_customers_by_spend(spark, sf_dir):
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "total_cents")
     )
-    w = Window.orderBy(F.desc("total_cents"), F.asc("c_custkey"))
+    # orderBy().limit(10) gives Catalyst a TakeOrderedAndProject plan (per-
+    # partition top-10 + driver merge); a global row_number() window instead
+    # sorts EVERY customer in one partition — the single-partition WindowExec
+    # that flooded round 1's bench log with WARNs and dies at 100x.  Rank is
+    # re-derived over just the 10 surviving rows as 1 + count of rows
+    # strictly ahead (broadcast 10x10 join) — no unpartitioned window at all.
+    top = spend.orderBy(F.desc("total_cents"), F.asc("c_custkey")).limit(10)
+    ahead = top.select(
+        F.col("total_cents").alias("_tc"), F.col("c_custkey").alias("_ck")
+    )
     return (
-        spend.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("c_custkey", "c_name", "total_cents",
-                F.col("rank").cast(LongType()).alias("rank"))
+        top.join(
+            F.broadcast(ahead),
+            (F.col("_tc") > F.col("total_cents"))
+            | ((F.col("_tc") == F.col("total_cents")) & (F.col("_ck") < F.col("c_custkey"))),
+            "left",
+        )
+        .groupBy("c_custkey", "c_name", "total_cents")
+        .agg((F.count("_ck") + 1).cast(LongType()).alias("rank"))
+        .select("c_custkey", "c_name", "total_cents", "rank")
     )
 
 
@@ -346,18 +358,10 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_winnow_substring_pairs(spark, sf_dir):
-    from set_sketch_paper_spark.functions.textstats_udfs import make_winnow_fingerprint_udf
+    from set_sketch_paper_spark.operators.dedup import winnow_substring_pairs
 
-    docs = _docs(spark, sf_dir)
-    udf = make_winnow_fingerprint_udf(ShingleConfig(k=8), window=4)
-    fp = docs.select("doc_id", F.explode(udf(F.col("text"))).alias("fp"))
-    return (
-        fp.alias("a")
-        .join(fp.alias("b"), "fp")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 3)
+    return winnow_substring_pairs(
+        _docs(spark, sf_dir), ShingleConfig(k=8), window=4, min_shared=3
     )
 
 

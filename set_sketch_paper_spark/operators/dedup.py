@@ -1,11 +1,16 @@
 """Deduplication operators: exact, MinHash-LSH near-dup, SimHash,
-n-gram Jaccard, embedding near-dup.
+n-gram Jaccard, winnowing fingerprints, embedding near-dup.
 
 Exact dedup is the short-circuit in front of the sketch pipeline: at corpus
 scale a large fraction of files are byte-identical (FIXTURES.md plants 15%),
 and sketching them is pure waste — group by sha256 first, push only the
 representatives through LSH, and re-attach members afterwards
 (SURVEY.md §7.1 step 3).
+
+Every exact self-join in this module goes through ``shared_key_pair_counts``
+— the capped bucket-expand shape — because an uncapped equi-self-join on a
+content-derived key (gram, fingerprint, simhash block) is quadratic in the
+hottest key's frequency, which at 100 TB is a stop-gram in ~every document.
 """
 
 from __future__ import annotations
@@ -13,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
-from ..config import PipelineConfig
+from ..config import PipelineConfig, ShingleConfig
 from ..functions.udfs import make_minhash_pair_estimator_udf
 from ..operators import lsh as lsh_ops
 from ..operators.signatures import with_content_sha, with_minhash_signature
@@ -68,6 +73,51 @@ def minhash_near_dup_pairs(
     )
 
 
+def shared_key_pair_counts(
+    exploded: DataFrame,
+    key_cap: int,
+    min_shared: int = 1,
+    with_skipped: bool = False,
+):
+    """(_id, g) rows -> (id1 < id2, inter_count) pairs sharing >= min_shared
+    keys, with per-key frequency capped at ``key_cap``.
+
+    The scale-critical shape shared by every exact self-join operator
+    (n-gram Jaccard, winnowing fingerprints, SimHash blocks): a key present
+    in f rows would emit f^2 join rows under a plain equi-self-join — one
+    stop-gram/boilerplate fingerprint at corpus scale is quadratic death.
+    Instead, ONE shuffle groups ids per key (collect_list), hot keys
+    (f > key_cap) are dropped and REPORTED (same skew guard as the LSH
+    band_cap, operators/lsh.py:41-80; callers can route hot keys to a
+    boilerplate path), and the capped s(s-1)/2 pair expansion is a single
+    codegen'd flatten/transform (no s^2 array copies).
+    """
+    buckets = exploded.groupBy("g").agg(F.collect_list("_id").alias("ids"))
+    sized = buckets.withColumn("bucket_size", F.size("ids"))
+    ok = sized.filter((F.col("bucket_size") >= 2) & (F.col("bucket_size") <= key_cap))
+    pair_expr = F.explode(
+        F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), y -> "
+            "struct(least(x, y) as id1, greatest(x, y) as id2))))"
+        )
+    ).alias("p")
+    inter = (
+        ok.select(pair_expr)
+        .select("p.id1", "p.id2")
+        .filter(F.col("id1") != F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter_count"))
+        .filter(F.col("inter_count") >= min_shared)
+    )
+    if with_skipped:
+        skipped = sized.filter(F.col("bucket_size") > key_cap).select(
+            "g", "bucket_size"
+        )
+        return inter, skipped
+    return inter
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     k: int = 3,
@@ -76,16 +126,24 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_shared: int = 1,
+    gram_cap: int = 10_000,
 ) -> DataFrame:
     """EXACT k-gram Jaccard pairs, computed relationally (no sketches).
 
     Token k-grams are built JVM-side with transform/slice over the split
-    array; the pair intersection count comes from an explode + self-join +
-    count — the exact-oracle twin of the MinHash path, used for recall
-    accounting and small-corpus dedup.  Returns pairs with
+    array; the pair intersection count comes from the capped bucket-expand
+    (shared_key_pair_counts) — the exact-oracle twin of the MinHash path,
+    used for recall accounting and small-corpus dedup.  Returns pairs with
     inter_count/union_count (exact ints) and jaccard_q = round(1e6*J).
     Threshold is the rational threshold_num/threshold_den (ints avoid float
     comparison drift vs SQL oracles).
+
+    ``gram_cap``: grams present in more than this many documents (stop-grams,
+    boilerplate headers) are dropped from the intersection count — without
+    the cap one hot gram in f docs emits f(f-1)/2 pair rows.  The default
+    sits far above any test corpus' max doc-frequency, so oracle parity at
+    sf<=0.1 is unaffected; production callers tune it and consume the
+    skipped-key report via shared_key_pair_counts(with_skipped=True).
     """
     toks = df.select(
         F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("t")
@@ -97,27 +155,20 @@ def ngram_jaccard_pairs(
                 F.size("t") >= k,
                 F.transform(
                     F.sequence(F.lit(0), F.size("t") - k),
-                    lambda i: F.concat_ws("", F.slice("t", i + 1, k)),
+                    lambda i: F.concat_ws("", F.slice("t", i + 1, k)),
                 ),
-            ).otherwise(F.array(F.concat_ws("", F.col("t"))))
+            ).otherwise(F.array(F.concat_ws("", F.col("t"))))
         ).alias("grams"),
     )
     sizes = grams.select("_id", F.size("grams").alias("n_grams"))
-    # join on the 64-bit gram hash, not the gram string: halves-to-quarters
-    # the shuffle bytes of the self-join.  xxhash64 collisions across a
-    # corpus' distinct grams are ~|grams|^2/2^64 — negligible; the exact
-    # SQL oracle joins on strings and agreement is asserted at sf0.01.
+    # group on the 64-bit gram hash, not the gram string: halves-to-quarters
+    # the shuffle bytes.  xxhash64 collisions across a corpus' distinct grams
+    # are ~|grams|^2/2^64 — negligible; the exact SQL oracle joins on strings
+    # and agreement is asserted at sf0.01.
     exploded = grams.select(
         "_id", F.explode("grams").alias("_g")
     ).select("_id", F.xxhash64("_g").alias("g"))
-    inter = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), "g")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("inter_count"))
-        .filter(F.col("inter_count") >= min_shared)
-    )
+    inter = shared_key_pair_counts(exploded, gram_cap, min_shared)
     out = (
         inter.join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("n_grams", "n1"), "id1")
         .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("n_grams", "n2"), "id2")
@@ -143,6 +194,35 @@ def ngram_jaccard_pairs(
     return out
 
 
+def winnow_substring_pairs(
+    df: DataFrame,
+    shingle_cfg: ShingleConfig | None = None,
+    window: int = 4,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_cap: int = 10_000,
+) -> DataFrame:
+    """Winnowing-fingerprint shared-substring pairs (Schleimer et al. '03
+    local fingerprinting; the reference's substring-level dedup analog).
+
+    Per doc: k-gram rolling hashes -> min-per-window fingerprints (pandas
+    UDF, one Arrow pass) -> capped bucket-expand on the fingerprint value.
+    Output: (id1 < id2, shared_fps).  ``fp_cap`` drops boilerplate
+    fingerprints shared by more than fp_cap docs (same skew guard as
+    gram_cap above).
+    """
+    from ..functions.textstats_udfs import make_winnow_fingerprint_udf
+
+    shingle_cfg = shingle_cfg or ShingleConfig(k=8)
+    udf = make_winnow_fingerprint_udf(shingle_cfg, window=window)
+    fp = df.select(
+        F.col(id_col).alias("_id"), F.explode(udf(F.col(text_col))).alias("g")
+    )
+    inter = shared_key_pair_counts(fp, fp_cap, min_shared)
+    return inter.withColumnRenamed("inter_count", "shared_fps")
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     pcfg: PipelineConfig,
@@ -150,12 +230,19 @@ def simhash_near_dup_pairs(
     n_blocks: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    block_cap: int = 10_000,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit simhash per doc, pigeonhole block join.
 
     A pair within hamming distance <= n_blocks-1 shares at least one of the
     n_blocks 16-bit blocks exactly (pigeonhole), so block equality is the
     LSH key; the exact hamming check runs JVM-side via bit_count(xor).
+
+    The block join is the capped bucket-expand: ids AND simhash values are
+    grouped per (block_idx, block_val) bucket in one shuffle, hot blocks
+    (> block_cap members — e.g. the all-zeros block of near-empty docs) are
+    dropped, and the pair expansion carries both simhashes so the hamming
+    verify needs no join back.
     """
     from ..functions.textstats_udfs import make_simhash_udf
 
@@ -178,16 +265,23 @@ def simhash_near_dup_pairs(
             )
         ).alias("block_idx", "block_val"),
     )
-    pairs = (
-        blocks.alias("a")
-        .join(blocks.alias("b"), ["block_idx", "block_val"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id1"),
-            F.col("b._id").alias("id2"),
-            F.col("a.simhash").alias("sh1"),
-            F.col("b.simhash").alias("sh2"),
+    buckets = blocks.groupBy("block_idx", "block_val").agg(
+        F.collect_list(F.struct(F.col("_id").alias("id"), F.col("simhash").alias("sh"))).alias("xs")
+    )
+    ok = buckets.filter((F.size("xs") >= 2) & (F.size("xs") <= block_cap))
+    pair_expr = F.explode(
+        F.expr(
+            "flatten(transform(xs, (x, i) -> "
+            "transform(slice(xs, i + 2, size(xs)), y -> struct("
+            "least(x.id, y.id) as id1, greatest(x.id, y.id) as id2, "
+            "if(x.id < y.id, x.sh, y.sh) as sh1, "
+            "if(x.id < y.id, y.sh, x.sh) as sh2))))"
         )
+    ).alias("p")
+    pairs = (
+        ok.select(pair_expr)
+        .select("p.id1", "p.id2", "p.sh1", "p.sh2")
+        .filter(F.col("id1") != F.col("id2"))
         .dropDuplicates(["id1", "id2"])
         .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
         .filter(F.col("hamming") <= hamming_threshold)

@@ -1,0 +1,116 @@
+"""Hot-key skew guards in the exact self-join operators.
+
+Every exact pair operator (n-gram Jaccard, winnowing fingerprints, SimHash
+blocks) routes through a capped bucket-expand; these tests plant a hot key
+shared by the whole corpus and assert (a) the cap engages — the hot key stops
+contributing pairs — and (b) the skipped-key report surfaces it.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from set_sketch_paper_spark.config import LSHConfig, PipelineConfig, ShingleConfig
+from set_sketch_paper_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    shared_key_pair_counts,
+    simhash_near_dup_pairs,
+    winnow_substring_pairs,
+)
+
+N_DOCS = 12
+
+
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    """Docs that all share one 3-gram ('common boiler plate') but are
+    otherwise pairwise-disjoint except docs 0/1, which are near-identical."""
+    rows = []
+    for i in range(N_DOCS):
+        uniq = " ".join(f"tok{i}w{j}" for j in range(8))
+        rows.append((i, f"common boiler plate {uniq}"))
+    # doc 1 = doc 0 with one extra token -> high exact Jaccard
+    rows[1] = (1, rows[0][1] + " extra")
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs_set(df):
+    return {(r["id1"], r["id2"]) for r in df.collect()}
+
+
+def test_shared_key_pair_counts_cap_and_report(spark):
+    # key 100 hits every id (hot), key 200 hits ids 0 and 1 only
+    rows = [(i, 100) for i in range(N_DOCS)] + [(0, 200), (1, 200)]
+    exploded = spark.createDataFrame(rows, "_id long, g long")
+    uncapped = shared_key_pair_counts(exploded, key_cap=N_DOCS)
+    assert len(_pairs_set(uncapped)) == N_DOCS * (N_DOCS - 1) // 2
+    capped, skipped = shared_key_pair_counts(
+        exploded, key_cap=N_DOCS - 1, with_skipped=True
+    )
+    assert _pairs_set(capped) == {(0, 1)}
+    skipped_rows = skipped.collect()
+    assert [(r["g"], r["bucket_size"]) for r in skipped_rows] == [(100, N_DOCS)]
+
+
+def test_ngram_gram_cap_engages(hot_docs):
+    # uncapped: the shared hot gram makes every doc pair share >= 1 gram
+    loose = ngram_jaccard_pairs(
+        hot_docs, k=3, threshold_num=0, threshold_den=1, min_shared=1,
+        gram_cap=N_DOCS,
+    )
+    assert len(_pairs_set(loose)) == N_DOCS * (N_DOCS - 1) // 2
+    # capped below corpus size: only the genuinely-overlapping 0/1 pair
+    # survives; grams unique to the planted near-dup pair are unaffected
+    capped = ngram_jaccard_pairs(
+        hot_docs, k=3, threshold_num=0, threshold_den=1, min_shared=1,
+        gram_cap=N_DOCS - 1,
+    )
+    assert _pairs_set(capped) == {(0, 1)}
+
+
+def test_ngram_cap_default_preserves_exactness(hot_docs):
+    """With the cap above corpus max frequency, results are the exact
+    uncapped n-gram Jaccard (oracle parity path)."""
+    a = ngram_jaccard_pairs(hot_docs, k=3, threshold_num=1, threshold_den=2)
+    b = ngram_jaccard_pairs(
+        hot_docs, k=3, threshold_num=1, threshold_den=2, gram_cap=N_DOCS
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_winnow_fp_cap_engages(hot_docs):
+    # k=2 shingles: the 3-token shared prefix yields >= 1 identical k-gram
+    # hash at the same position in every doc, so the window-min fingerprint
+    # over the prefix region is corpus-wide hot
+    pcfg_shingle = ShingleConfig(k=2)
+    loose = winnow_substring_pairs(
+        hot_docs, pcfg_shingle, window=2, min_shared=1, fp_cap=N_DOCS
+    )
+    capped = winnow_substring_pairs(
+        hot_docs, pcfg_shingle, window=2, min_shared=1, fp_cap=N_DOCS - 1
+    )
+    loose_pairs, capped_pairs = _pairs_set(loose), _pairs_set(capped)
+    # the boilerplate-fingerprint pairs disappear; the real near-dup stays
+    assert capped_pairs <= loose_pairs
+    assert (0, 1) in capped_pairs
+    # everything-matches-everything is gone once the hot fingerprint is capped
+    assert len(capped_pairs) < len(loose_pairs)
+
+
+def test_simhash_block_cap_engages(spark):
+    """Plant byte-identical docs (hamming 0 — all blocks collide) plus one
+    outlier; capping blocks below the clique size removes all pairs."""
+    rows = [(i, "identical content for simhash clique test") for i in range(8)]
+    rows.append((99, "totally different words entirely unrelated text here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pcfg = PipelineConfig(
+        shingle=ShingleConfig(k=2),
+        lsh=LSHConfig(num_bands=32, rows_per_band=4),
+    )
+    loose = simhash_near_dup_pairs(docs, pcfg, hamming_threshold=3, block_cap=8)
+    assert _pairs_set(loose) == set(itertools.combinations(range(8), 2))
+    capped = simhash_near_dup_pairs(docs, pcfg, hamming_threshold=3, block_cap=7)
+    assert _pairs_set(capped) == set()
