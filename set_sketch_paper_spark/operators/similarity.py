@@ -31,6 +31,16 @@ def _dot(a, b):
                        lambda acc, x: acc + x)
 
 
+def _cos_q(dot_col, norm1_col, norm2_col):
+    """The ONE quantized-cosine scoring expression shared by brute-force,
+    ANN re-rank, and near-dup paths: cos_q = round(1e6 * dot / sqrt(n1*n2))
+    over exact integer dot/norms — identical IEEE expression everywhere, so
+    ANN-routed results are bit-comparable to the exact oracle twin."""
+    return F.round(
+        F.lit(1_000_000) * dot_col / F.sqrt((norm1_col * norm2_col).cast("double"))
+    ).cast(LongType())
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     k: int = 10,
@@ -55,12 +65,7 @@ def cosine_topk_bruteforce(
     cn = c.withColumn("cnorm", _dot(F.col("cv"), F.col("cv")))
     pairs = qn.crossJoin(cn).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.withColumn("dot", _dot(F.col("qv"), F.col("cv"))).withColumn(
-        "cos_q",
-        F.round(
-            F.lit(1_000_000)
-            * F.col("dot")
-            / F.sqrt((F.col("qnorm") * F.col("cnorm")).cast("double"))
-        ).cast(LongType()),
+        "cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_q"), F.asc("neighbor_id")
@@ -72,17 +77,20 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplane_codes_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+def _hyperplane_codes_udf(n_bits: int, n_tables: int, seed: int):
     """embedding -> array<int> of ALL n_tables bucket codes in one pass
     (one Arrow roundtrip + one matmul instead of n_tables UDF calls).
-    Hyperplanes are a deterministic function of (seed, dim) generated
-    identically on every executor."""
+    Hyperplanes are a deterministic function of (seed, dim); dim is read
+    from the first vector of each Arrow batch, so no driver-side .first()
+    job is ever needed and every executor derives identical planes."""
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _udf(vecs: pd.Series) -> pd.Series:
-        rng = np.random.RandomState(seed % (2**31 - 1))
-        planes = rng.standard_normal((dim, n_bits * n_tables))
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        rng = np.random.RandomState(seed % (2**31 - 1))
+        planes = rng.standard_normal((mat.shape[1], n_bits * n_tables))
         signs = (mat @ planes) > 0
         weights = (1 << np.arange(n_bits, dtype=np.int32))
         codes = (
@@ -93,23 +101,14 @@ def _hyperplane_codes_udf(dim: int, n_bits: int, n_tables: int, seed: int):
     return _udf
 
 
-def hyperplane_ann_topk(
-    corpus: DataFrame,
-    k: int = 10,
-    n_bits: int = 8,
-    n_tables: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 0xA_2137,
-) -> DataFrame:
-    """Approximate top-k cosine via multi-table random-hyperplane LSH.
+def _coded(corpus: DataFrame, id_col: str, vec_col: str, n_bits: int,
+           n_tables: int, seed: int, bucket_cap: int) -> DataFrame:
+    """(_id, qv, norm, table_idx, code) rows, with hot buckets dropped.
 
-    Candidates = pairs sharing a bucket in ANY of n_tables codes; exact
-    integer-quantized cosine re-ranks candidates.  Recall vs brute force is
-    tested in tests/test_similarity.py.
+    The bucket-size side table has at most n_tables * 2^n_bits rows, so the
+    hot-bucket filter is a broadcast join — no extra big-side shuffle.
     """
-    dim = len(corpus.select(vec_col).first()[0])
-    codes_udf = _hyperplane_codes_udf(dim, n_bits, n_tables, seed)
+    codes_udf = _hyperplane_codes_udf(n_bits, n_tables, seed)
     coded = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("_codes", codes_udf(F.col("_v")))
@@ -119,7 +118,33 @@ def hyperplane_ann_topk(
     slim = coded.select(
         "_id", "qv", "norm",
         F.posexplode(F.col("_codes")).alias("table_idx", "code"),
+    ).persist()  # sizes agg + pair join both read slim: one UDF evaluation
+    sizes = slim.groupBy("table_idx", "code").agg(F.count(F.lit(1)).alias("_bsz"))
+    return (
+        slim.join(F.broadcast(sizes), ["table_idx", "code"])
+        .filter(F.col("_bsz") <= bucket_cap)
+        .drop("_bsz")
     )
+
+
+def hyperplane_ann_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0xA_2137,
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Approximate top-k cosine via multi-table random-hyperplane LSH.
+
+    Candidates = pairs sharing a bucket in ANY of n_tables codes (buckets
+    larger than ``bucket_cap`` dropped — the skew guard for degenerate
+    hyperplane cells); exact integer-quantized cosine re-ranks candidates.
+    Recall vs brute force is tested in tests/test_similarity.py.
+    """
+    slim = _coded(corpus, id_col, vec_col, n_bits, n_tables, seed, bucket_cap)
     cand = (
         slim.alias("a")
         .join(slim.alias("b"), ["table_idx", "code"])
@@ -135,18 +160,53 @@ def hyperplane_ann_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn("dot", _dot(F.col("qv"), F.col("cv"))).withColumn(
-        "cos_q",
-        F.round(
-            F.lit(1_000_000)
-            * F.col("dot")
-            / F.sqrt((F.col("qnorm") * F.col("cnorm")).cast("double"))
-        ).cast(LongType()),
+        "cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_q")
+    )
+
+
+def cosine_near_dup_pairs_ann(
+    corpus: DataFrame,
+    threshold_q: int = 990_000,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0xA_2137,
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Embedding near-duplicate pairs through hyperplane-LSH buckets — the
+    PRODUCTION entry at scale (cosine_near_dup_pairs' crossJoin is the
+    sf<=0.01 oracle twin).  Candidates are undirected pairs co-bucketed in
+    any table; scoring is the identical _cos_q expression, so every emitted
+    pair's cos_q is bit-equal to the exact path's — ANN only affects recall
+    (multi-table probing; recall vs exact is asserted in tests).
+    Output: (id1 < id2, cos_q >= threshold_q)."""
+    slim = _coded(corpus, id_col, vec_col, n_bits, n_tables, seed, bucket_cap)
+    cand = (
+        slim.alias("a")
+        .join(slim.alias("b"), ["table_idx", "code"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            F.col("a.qv").alias("qv"),
+            F.col("b.qv").alias("cv"),
+            F.col("a.norm").alias("qnorm"),
+            F.col("b.norm").alias("cnorm"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("dot", _dot(F.col("qv"), F.col("cv")))
+        .withColumn("cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm")))
+        .filter(F.col("cos_q") >= threshold_q)
+        .select("id1", "id2", "cos_q")
     )
 
 
@@ -159,8 +219,8 @@ def cosine_near_dup_pairs(
     """Exact embedding near-duplicate pairs: (id1 < id2, cos_q) with
     cos_q = round(1e6 * cosine) >= threshold_q over integer-quantized
     vectors (deterministic, SQL-oracle-exact).  Brute-force O(n^2) — the
-    correctness baseline; at scale route through hyperplane_ann_topk
-    buckets first and reuse the same scoring expression."""
+    correctness baseline / oracle twin; the production entry at scale is
+    cosine_near_dup_pairs_ann (identical _cos_q scoring, LSH candidates)."""
     q = corpus.select(
         F.col(id_col).alias("id1"), _quantized(F.col(vec_col)).alias("qv")
     ).withColumn("qnorm", _dot(F.col("qv"), F.col("qv")))
@@ -170,14 +230,7 @@ def cosine_near_dup_pairs(
     pairs = q.crossJoin(c).filter(F.col("id1") < F.col("id2"))
     return (
         pairs.withColumn("dot", _dot(F.col("qv"), F.col("cv")))
-        .withColumn(
-            "cos_q",
-            F.round(
-                F.lit(1_000_000)
-                * F.col("dot")
-                / F.sqrt((F.col("qnorm") * F.col("cnorm")).cast("double"))
-            ).cast(LongType()),
-        )
+        .withColumn("cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm")))
         .filter(F.col("cos_q") >= threshold_q)
         .select("id1", "id2", "cos_q")
     )

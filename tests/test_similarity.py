@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from set_sketch_paper_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_ann,
     cosine_topk_bruteforce,
     hyperplane_ann_topk,
     label_centroids_quantized,
@@ -51,6 +53,37 @@ def test_ann_scores_match_exact_for_found_pairs(emb_df):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert r["cos_q"] == exact[key], key
+
+
+def test_ann_near_dup_recall_and_exact_scores(emb_df):
+    """cosine_near_dup_pairs_ann: pairs are a high-recall subset of the
+    exact crossJoin twin, with BIT-IDENTICAL cos_q on every emitted pair
+    (shared _cos_q expression), and zero false positives."""
+    threshold = 800_000
+    exact = {
+        (r["id1"], r["id2"]): r["cos_q"]
+        for r in cosine_near_dup_pairs(emb_df, threshold_q=threshold).collect()
+    }
+    assert len(exact) > 10  # the clustered fixture plants plenty of near-dups
+    got = {
+        (r["id1"], r["id2"]): r["cos_q"]
+        for r in cosine_near_dup_pairs_ann(
+            emb_df, threshold_q=threshold, n_bits=6, n_tables=8
+        ).collect()
+    }
+    assert set(got) <= set(exact)  # never invents a pair
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.95, recall
+    for key, cos_q in got.items():
+        assert cos_q == exact[key], key
+
+
+def test_ann_bucket_cap_engages(emb_df):
+    """bucket_cap=1 drops every bucket (all candidate pairs vanish)."""
+    got = cosine_near_dup_pairs_ann(
+        emb_df, threshold_q=0, n_bits=6, n_tables=2, bucket_cap=1
+    ).count()
+    assert got == 0
 
 
 def test_label_centroids_exact(emb_df):
