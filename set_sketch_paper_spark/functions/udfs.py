@@ -299,12 +299,18 @@ def make_minhash_pair_estimator_udf(mh: MinHashConfig, method: str = "original")
     return _udf
 
 
-def make_register_pair_estimator_udf(cfg, method: str = "new"):
+def make_register_pair_estimator_udf(cfg, method: str = "new", joint_corr: bool = True):
     """(bin1, bin2) -> struct of joint estimates for GHLL/SetSketch states.
 
     method 'new' runs the per-pair ML solve (sketch.hpp:484-522) — scalar per
     pair, so the pipeline applies it only after the vectorized equal-register
     pre-filter (SURVEY.md §7.3).  method 'incl_excl' is fully vectorized.
+
+    ``joint_corr`` enables the mu() range-corrected likelihood
+    (sketch.hpp:578-633) for pairs with registers at the 0 lower bound —
+    small shingle sets relative to m, i.e. short documents (the reference
+    ships it behind the estimator's useJointRangeCorrection flag,
+    sketch.hpp:925 comment).
     """
     is_ghll = isinstance(cfg, GHLLConfig)
     a = (1.0 / cfg.num_registers) if is_ghll else cfg.a
@@ -313,7 +319,7 @@ def make_register_pair_estimator_udf(cfg, method: str = "new"):
     @F.pandas_udf(PAIR_ESTIMATE_STRUCT)
     def _udf(st1: pd.Series, st2: pd.Series) -> pd.DataFrame:
         est = get_setsketch_estimator(
-            cfg.q, a, cfg.base, cfg.num_registers, is_ghll, False, False
+            cfg.q, a, cfg.base, cfg.num_registers, is_ghll, joint_corr, False
         )
         m1 = np.vstack([np.frombuffer(s, dtype=dtype) for s in st1])
         m2 = np.vstack([np.frombuffer(s, dtype=dtype) for s in st2])

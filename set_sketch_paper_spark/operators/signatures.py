@@ -29,7 +29,8 @@ def with_content_sha(df: DataFrame, content_col: str = "content", out: str = "co
 def with_minhash_signature(
     df: DataFrame, pcfg: PipelineConfig, content_col: str = "content"
 ) -> DataFrame:
-    """Adds sig:array<long>, bands:array<long>, n_shingles:int."""
+    """Adds sig:binary (LE uint64 register buffer), bands:array<long>,
+    n_shingles:int."""
     udf = make_minhash_signature_udf(pcfg)
     return (
         df.withColumn("_sig_struct", udf(F.col(content_col)))

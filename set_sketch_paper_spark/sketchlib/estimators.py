@@ -296,13 +296,97 @@ class SetSketchEstimator:
             return 0.0
         return minimize_bounded(neg_loglik, 0.0, dmax)
 
+    def mu(self, x: float, y: float) -> float:
+        """mu(x, y) = sum_{k>=0} (e^{-x b^-k} - e^{-y b^-k}) = zz(y) - zz(x)
+        (sketch.hpp:537-576): the probability mass between two exponential
+        tails across the geometric register levels, evaluated from the
+        dominant term kMid outward in both directions for fast convergence.
+        Used by the range-corrected joint likelihood (mu > 0 iff x < y)."""
+        if x == y:
+            return 0.0
+        swapped = x > y
+        if swapped:
+            x, y = y, x
+        result = 0.0
+        if x > 0.0:
+            # peak of the summand: k where d/dk e^{-x b^-k} - e^{-y b^-k} = 0
+            z = math.log(math.log(x / y) / (x - y)) / self.log_base
+            k_mid = int(math.floor(max(0.0, z)))
+        else:
+            k_mid = 0
+        pow_base_mid = self.base_inverse**k_mid
+        pow_base = pow_base_mid
+        while True:
+            old = result
+            result -= math.exp(-x * pow_base) * math.expm1((x - y) * pow_base)
+            if old == result:
+                break
+            pow_base *= self.base_inverse
+        pow_base = pow_base_mid
+        k = k_mid
+        while k != 0:
+            pow_base *= self.base
+            old = result
+            result -= math.exp(-x * pow_base) * math.expm1((x - y) * pow_base)
+            if old == result:
+                break
+            k -= 1
+        return -result if swapped else result
+
+    def _joint_new_corrected_one(
+        self, n_less: int, n_greater: int, n_both_zero: int, c1: float, c2: float
+    ) -> float:
+        """estimateJointNewCorrected (sketch.hpp:578-633): the range-corrected
+        joint ML used when registers sit at the 0 lower bound (small sets
+        relative to m — short documents).  Models the both-zero registers'
+        Poisson mass explicitly via mu() instead of treating 0 as a regular
+        geometric level."""
+        if c1 == 0.0 and c2 == 0.0:
+            return 0.0
+        dmax = c2 / c1 if c1 >= c2 else c1 / c2
+        n_eq_nbz = self.m - n_less - n_greater - n_both_zero
+        a, base = self.a, self.base
+
+        def neg_loglik(j: float) -> float:
+            c = a * (c1 + c2) / (1.0 + j)
+            p_greater = (
+                self.mu(a * (max(0.0, c1 - c2 * j) / (base * (1.0 + j)) + c2), c)
+                if (n_greater > 0 or n_eq_nbz > 0)
+                else 0.0
+            )
+            p_less = (
+                self.mu(a * (max(0.0, c2 - c1 * j) / (base * (1.0 + j)) + c1), c)
+                if (n_less > 0 or n_eq_nbz > 0)
+                else 0.0
+            )
+            ret = -c * n_both_zero
+            # C++ log(<=0)/log1p(<=-1) yield NaN/-inf and the lambda maps NaN
+            # to +inf (sketch.hpp:620-624); Python raises — map identically
+            try:
+                if n_less > 0:
+                    ret += n_less * math.log(p_less)
+                if n_greater > 0:
+                    ret += n_greater * math.log(p_greater)
+                if n_eq_nbz > 0:
+                    ret += n_eq_nbz * math.log1p(-p_greater - p_less - math.exp(-c))
+            except ValueError:
+                return math.inf
+            if math.isnan(ret):
+                return math.inf
+            return -ret
+
+        if dmax <= 0.0:
+            return 0.0
+        return minimize_bounded(neg_loglik, 0.0, dmax)
+
     def joint_new(self, s1: np.ndarray, s2: np.ndarray, card1=None, card2=None):
         """estimateJointNewWithKnownSetCardinalities (sketch.hpp:642-678).
 
-        GHLL/SetSketch configs in the reference run with
-        joint_range_correction=False and joint_fallback=False, so extreme
-        registers fall through to the plain ML solve; we implement the
-        fallback path too for completeness."""
+        Extreme-register dispatch mirrors the reference exactly: registers at
+        both bounds -> (a) range-corrected ML via mu() when only the LOWER
+        bound is hit and joint_range_correction is on (sketch.hpp:670-671),
+        else (b) inclusion-exclusion when joint_fallback is on, else (c) the
+        plain ML solve (the reference GHLL/SetSketch default config)."""
         a1 = np.atleast_2d(np.asarray(s1))
         a2 = np.atleast_2d(np.asarray(s2))
         c1 = self.cardinality_simple(a1) if card1 is None else np.atleast_1d(np.asarray(card1, dtype=np.float64))
@@ -311,11 +395,18 @@ class SetSketchEstimator:
         jac = np.empty(a1.shape[0], dtype=np.float64)
         fallback_rows = []
         for i in range(a1.shape[0]):
-            if (both_min[i] > 0 or both_max[i] > 0) and self.joint_fallback:
-                fallback_rows.append(i)
-                jac[i] = np.nan
-            else:
-                jac[i] = self._joint_new_one(int(less[i]), int(greater[i]), float(c1[i]), float(c2[i]))
+            if both_min[i] > 0 or both_max[i] > 0:
+                if self.joint_range_correction and both_max[i] == 0:
+                    jac[i] = self._joint_new_corrected_one(
+                        int(less[i]), int(greater[i]), int(both_min[i]),
+                        float(c1[i]), float(c2[i]),
+                    )
+                    continue
+                if self.joint_fallback:
+                    fallback_rows.append(i)
+                    jac[i] = np.nan
+                    continue
+            jac[i] = self._joint_new_one(int(less[i]), int(greater[i]), float(c1[i]), float(c2[i]))
         result = joint_from_jaccard(c1, c2, jac)
         if fallback_rows:
             idx = np.asarray(fallback_rows)

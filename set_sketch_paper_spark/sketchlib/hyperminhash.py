@@ -25,7 +25,7 @@ import math
 
 import numpy as np
 
-from .estimators import SetSketchEstimator
+from .estimators import SetSketchEstimator, joint_from_jaccard
 from .hashing import U64, lemire_bounded, splitmix64
 
 _K_VAL = U64(0x1717_C0DE_BA5E_0001)
@@ -177,3 +177,67 @@ class HyperMinHashEstimator:
         return self.cardinality_estimator.joint_incl_excl(
             self._rhll(s1), self._rhll(s2)
         )
+
+    # -- original joint estimator with collision correction -----------------
+
+    def _collision_estimate_hll_divided(self, x_size: np.ndarray, y_size: np.ndarray) -> np.ndarray:
+        """collision_estimate_hll_divided (sketch.hpp:1738-1761): expected
+        number of register matches between two DISJOINT sets — per HLL level
+        i, P(both sketches land level i in a bucket), summed, scaled by the
+        subbucket collision probability 2^-subbucketsize.  Vectorized over
+        pairs (the level loop is 2^bucketsize <= 64 iterations)."""
+        n = np.asarray(x_size, dtype=np.float64)
+        m = np.asarray(y_size, dtype=np.float64)
+        num_hll_buckets = 2.0**self.bucketsize
+        cp = np.zeros_like(n)
+        for i_ in range(int(num_hll_buckets)):
+            i = i_ + 1
+            if i != num_hll_buckets:
+                b1 = 1.0 / 2.0**i
+                b2 = 1.0 / 2.0 ** (i - 1)
+            else:
+                b1 = 0.0
+                b2 = 1.0 / 2.0 ** (i - 1)
+            b1 /= self.m
+            b2 /= self.m
+            pr_x = (1.0 - b1) ** n - (1.0 - b2) ** n
+            pr_y = (1.0 - b1) ** m - (1.0 - b2) ** m
+            cp = cp + pr_x * pr_y
+        return (cp * self.m) / 2.0**self.subbucketsize
+
+    def _collision_estimate_final(self, x_size: np.ndarray, y_size: np.ndarray) -> np.ndarray:
+        """collision_estimate_final (sketch.hpp:1763-1778): closed-form
+        large-cardinality approximation above m*32, exact-sum formula below."""
+        x = np.asarray(x_size, dtype=np.float64)
+        y = np.asarray(y_size, dtype=np.float64)
+        n = np.maximum(x, y)
+        m = np.minimum(x, y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(m > 0, n / m, np.inf)
+            ratio_factor = 4.0 * ratio / (1.0 + ratio) ** 2
+        large = (
+            0.169919487159739093975315012348630288992889
+            * self.m
+            * ratio_factor
+            / 2.0**self.subbucketsize
+        )
+        small = self._collision_estimate_hll_divided(x, y)
+        return np.where(n > self.m * 32.0, large, small)
+
+    def joint_original(self, s1: np.ndarray, s2: np.ndarray, card1=None, card2=None):
+        """estimateJointOriginalWithKnownSetCardinalities (sketch.hpp:
+        1785-1821): jaccard = (matching nonzero registers - expected
+        collisions) / union-filled buckets, clamped to >= 0 as in the
+        reference's robustness condition.  Cardinalities default to the
+        'new' estimator (sketch.hpp:1812-1817)."""
+        a1 = np.atleast_2d(np.asarray(s1, dtype=np.int64))
+        a2 = np.atleast_2d(np.asarray(s2, dtype=np.int64))
+        c1 = self.cardinality_new(a1) if card1 is None else np.asarray(card1, dtype=np.float64)
+        c2 = self.cardinality_new(a2) if card2 is None else np.asarray(card2, dtype=np.float64)
+        match_num = ((a1 == a2) & (a1 != 0)).sum(axis=1).astype(np.float64)
+        union_filled = ((a1 != 0) | (a2 != 0)).sum(axis=1).astype(np.float64)
+        collisions = self._collision_estimate_final(c1, c2)
+        inter = match_num - collisions
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where((inter > 0) & (union_filled > 0), inter / union_filled, 0.0)
+        return joint_from_jaccard(c1, c2, jac)

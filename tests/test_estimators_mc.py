@@ -176,3 +176,125 @@ def test_joint_result_algebra():
     # empty
     r4 = joint_from_jaccard(0.0, 0.0, 0.3)
     assert r4["jaccard"][0] == 0.0 and r4["union"][0] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# mu() range-corrected joint estimator (sketch.hpp:537-633)
+# ---------------------------------------------------------------------------
+
+def _zz_slow(x: float, base: float) -> float:
+    """sum_{k>=0} 1 - e^{-x*b^-k} — the commented-out zz() series the
+    reference documents as the mu() identity (sketch.hpp:524-535)."""
+    s, p = 0.0, 1.0
+    while True:
+        old = s
+        s -= math.expm1(-x * p)
+        if s == old:
+            return s
+        p /= base
+
+
+def test_mu_equals_zz_difference():
+    est = SetSketchEstimator(62, 1.0 / 256, 2.0, 256, True, True, False)
+    for x, y in [(0.0, 1.0), (0.5, 2.0), (3.0, 0.25), (10.0, 10.5), (1e-4, 5.0)]:
+        want = _zz_slow(y, 2.0) - _zz_slow(x, 2.0)
+        assert abs(est.mu(x, y) - want) < 1e-12 * max(1.0, abs(want)), (x, y)
+    assert est.mu(1.0, 1.0) == 0.0
+    assert est.mu(2.0, 1.0) == -est.mu(1.0, 2.0)
+
+
+def test_joint_corrected_small_sets_beats_uncorrected(rng):
+    """Small sets (union << m): many registers sit at the 0 lower bound and
+    the UNcorrected ML is heavily biased upward — the reference's own golden
+    CSV shows mean jaccard 0.857 for true 0.5 at union=1000, m=4096 — while
+    the mu()-corrected estimator recovers the truth."""
+    m, base, q = 1024, 2.0, 62
+    est_plain = SetSketchEstimator(q, 1.0 / m, base, m, True, False, False)
+    est_corr = SetSketchEstimator(q, 1.0 / m, base, m, True, True, False)
+    n_ex, d, inter = 60, 75, 150  # union = 300 << m -> ~70% registers zero
+    j_plain, j_corr = [], []
+    for i in range(n_ex):
+        a, b = make_pair(rng, d, d, inter)
+        sa = ghll_sketch(a, m, base, q, seed=4200 + i)
+        sb = ghll_sketch(b, m, base, q, seed=4200 + i)
+        c1, c2 = float(len(a)), float(len(b))
+        j_plain.append(est_plain.joint_new(sa, sb, [c1], [c2])["jaccard"][0])
+        j_corr.append(est_corr.joint_new(sa, sb, [c1], [c2])["jaccard"][0])
+    bias_plain = abs(float(np.mean(j_plain)) - 0.5)
+    bias_corr = abs(float(np.mean(j_corr)) - 0.5)
+    assert bias_plain > 0.15, bias_plain  # the uncorrected failure mode is real
+    assert bias_corr < 0.06, bias_corr    # correction recovers the truth
+    rmse_corr = float(np.sqrt(np.mean((np.asarray(j_corr) - 0.5) ** 2)))
+    assert rmse_corr < 0.12, rmse_corr
+
+
+def test_joint_uncorrected_matches_reference_golden_bias(rng):
+    """Parity with the reference's checked-in golden CSV: GHLL m=4096 q=62
+    b=2, (d1,d2,inter)=(250,250,500), KNOWN cardinalities, NO range
+    correction -> newKnownCardMeanJaccard = 0.8567 (joint_test CSV row 1).
+    Reproducing the reference's BIAS is the strongest uncorrected-path
+    parity check available from the published artifacts."""
+    m, base, q = 4096, 2.0, 62
+    est = SetSketchEstimator(q, 1.0 / m, base, m, True, False, False)
+    n_ex = 50
+    vals = []
+    for i in range(n_ex):
+        a, b = make_pair(rng, 250, 250, 500)
+        sa = ghll_sketch(a, m, base, q, seed=7100 + i)
+        sb = ghll_sketch(b, m, base, q, seed=7100 + i)
+        vals.append(est.joint_new(sa, sb, [750.0], [750.0])["jaccard"][0])
+    mean = float(np.mean(vals))
+    # golden: mean 0.85675, mse 0.12728 -> sd ~ 0.128/sqrt(...)  band: 5 SE
+    sd = math.sqrt(0.12727564311638401 - (0.85674848379263036 - 0.5) ** 2)
+    assert abs(mean - 0.85674848379263036) < 5.0 * sd / math.sqrt(n_ex) + 0.02, mean
+
+
+def test_setsketch2_golden_cardinality_parity(rng):
+    """SS2 parity via the shared SS1-kernel register law (setsketch.py:19-27
+    subsumption argument): our estimator's MC mean at the reference's SS2
+    golden CSV grid points (m=256, b=2, a=20, q=62, simple estimator,
+    data/cardinality_test(name=SetSketch2;...).csv) within 5 standard
+    errors + a small kernel-difference slack."""
+    m, base, a_param, q = 256, 2.0, 20.0, 62
+    est = SetSketchEstimator(q, a_param, base, m, False, False, False)
+    golden = {  # true_card: (simple mean, simple mse) from the CSV
+        900: (9.03540857561723101e02, 2.57169836935543663e03),
+        9036: (9.07768711175614408e03, 3.45876992752598599e05),
+    }
+    n_ex = 150
+    for card, (g_mean, g_mse) in golden.items():
+        regs = np.vstack(
+            [setsketch_sketch(random_u64(rng, card), m, base, a_param, q, seed=8800 + i)
+             for i in range(n_ex)]
+        )
+        mean = float(np.mean(est.cardinality_simple(regs)))
+        sd = math.sqrt(max(g_mse - (g_mean - card) ** 2, 1e-9))
+        tol = 5.0 * sd / math.sqrt(n_ex) + 0.005 * card
+        assert abs(mean - g_mean) < tol, (card, mean, g_mean, tol)
+
+
+def test_hyperminhash_joint_original_collision_corrected(rng):
+    """HMH estimateJointOriginal (sketch.hpp:1785-1821): jaccard from
+    matching registers minus the expected-collision estimate.  Checks the
+    collision estimate is engaged (raw match fraction overshoots on
+    disjoint sets; corrected estimate is near 0) and accuracy at J=0.5."""
+    from set_sketch_paper_spark.sketchlib.hyperminhash import (
+        HyperMinHashEstimator,
+        hyperminhash_sketch,
+    )
+
+    bb, bs, sbs = 8, 6, 10
+    est = HyperMinHashEstimator(bb, bs, sbs)
+    # disjoint pair: true J = 0
+    j0, j05 = [], []
+    for i in range(60):
+        a, b = make_pair(rng, 3000, 3000, 0)
+        sa = hyperminhash_sketch(a, bb, bs, sbs, seed=31 + i)
+        sb = hyperminhash_sketch(b, bb, bs, sbs, seed=31 + i)
+        j0.append(est.joint_original(sa, sb)["jaccard"][0])
+        a, b = make_pair(rng, 1500, 1500, 3000)
+        sa = hyperminhash_sketch(a, bb, bs, sbs, seed=77 + i)
+        sb = hyperminhash_sketch(b, bb, bs, sbs, seed=77 + i)
+        j05.append(est.joint_original(sa, sb)["jaccard"][0])
+    assert abs(float(np.mean(j0))) < 0.02, np.mean(j0)
+    assert abs(float(np.mean(j05)) - 0.5) < 0.06, np.mean(j05)
