@@ -32,8 +32,12 @@ class MinHashConfig:
     seed: int = 0x5E75_FE7C
     algo: str = "dense"
 
+    # bumped whenever the register-hash spec changes (v2: linear A + key*B
+    # family) so checkpoints/stores from older kernels can't be mixed in
+    KERNEL_SPEC = "mh-linear-v2"
+
     def config_hash(self) -> str:
-        return _stable_hash({"kind": "minhash", **asdict(self)})
+        return _stable_hash({"kind": "minhash", "kernel": self.KERNEL_SPEC, **asdict(self)})
 
 
 @dataclass(frozen=True)
@@ -58,8 +62,10 @@ class GHLLConfig:
         # register values live in [0, q+1]
         return "uint8" if self.q + 1 <= 255 else "uint16"
 
+    KERNEL_SPEC = "ghll-onehash-v2"
+
     def config_hash(self) -> str:
-        return _stable_hash({"kind": "ghll", **asdict(self)})
+        return _stable_hash({"kind": "ghll", "kernel": self.KERNEL_SPEC, **asdict(self)})
 
 
 @dataclass(frozen=True)

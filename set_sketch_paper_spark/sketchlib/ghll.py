@@ -15,9 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .hashing import U64, derive_keys, lemire_bounded, splitmix64, u64_to_unit
+from .hashing import U64, splitmix64
 
-_IDX_SALT = U64(0x1D0_5A17)
 _VAL_SALT = U64(0x9A1_5A17)
 
 
@@ -51,15 +50,38 @@ def ghll_sketches_batch(
     vals = np.asarray(values, dtype=U64)
     if len(vals):
         skey = U64(seed & 0xFFFFFFFFFFFFFFFF)
-        h_val = splitmix64(vals ^ _VAL_SALT ^ skey)
-        h_idx = splitmix64(vals ^ _IDX_SALT ^ skey)
-        u = u64_to_unit(h_val)
-        # u == 0 would map to +inf level; the reference's x is (0,1] via
-        # >> 11 * 2^-53 which can be 0 — treat as the deepest level q+1.
-        k = np.where(u > 0.0, geometric_level(u, base, q), float(q + 1)).astype(np.int64)
-        idx = lemire_bounded(h_idx, m)
-        row_of_value = np.repeat(np.arange(rows, dtype=np.int64), sizes)
-        np.maximum.at(regs_flat, row_of_value * m + idx, k)
+        # ONE mix per element: level from the top 53 bits, register index
+        # from the low 32 (Lemire low-half).  The bit ranges overlap in
+        # 11..31, but those bits only perturb the uniform below 2^-22 —
+        # i.e. they influence the level only at depths k > ~22/log2(b),
+        # reached with probability ~2^-22; the level/index correlation is
+        # statistically invisible (MC RMSE tests assert the theory band).
+        h = splitmix64(vals ^ _VAL_SALT ^ skey)
+        v = (h >> U64(11)).astype(np.float64)
+        # k = floor(-log(v * 2^-53)/log(b)) + 1, constants folded into one
+        # multiply-add; v == 0 -> log = -inf -> k = +inf -> clipped to q+1
+        # (the reference's x == 0 deepest-level case)
+        inv_log_base = 1.0 / np.log(base)
+        c_add = 53.0 * np.log(2.0) * inv_log_base + 1.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            k_f = np.log(v)
+            np.multiply(k_f, -inv_log_base, out=k_f)
+            np.add(k_f, c_add, out=k_f)
+            np.floor(k_f, out=k_f)
+            np.clip(k_f, 0.0, float(q + 1), out=k_f)
+        k = k_f.astype(np.int64)
+        # h is dead after v: reuse its buffer for the index computation
+        h &= U64(0xFFFFFFFF)
+        h *= U64(m)
+        h >>= U64(32)
+        if rows == 1:
+            flat = h
+        else:
+            row_of_value = np.repeat(np.arange(rows, dtype=U64), sizes)
+            row_of_value *= U64(m)
+            h += row_of_value
+            flat = h
+        np.maximum.at(regs_flat, flat, k)
     return regs_flat.reshape(rows, m).astype(dtype), sizes
 
 
