@@ -29,18 +29,36 @@ def _symmetric(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 40) -> DataFrame:
+def _materialize(df: DataFrame, reliable: bool) -> DataFrame:
+    """Truncate iterative lineage.  ``reliable=True`` uses RDD checkpointing
+    to the session's checkpoint dir (survives executor loss — on a real
+    cluster localCheckpoint blocks die with their executor and the truncated
+    lineage cannot be replayed); default localCheckpoint is the fast
+    single-box mode."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 40, reliable: bool = False
+) -> DataFrame:
     """(id1, id2) undirected edges -> (id, cluster_id = min reachable id).
 
     Includes every vertex that appears in the edge list (callers union in
     isolated vertices as their own singleton clusters if needed).
+
+    Per round: ONE neighborhood-min shuffle + ONE jump join, materialized
+    once; the convergence test rides the materialized frame (the old label
+    is carried as a column, so no separate old-vs-new join shuffle) and its
+    filter scan reads the just-checkpointed blocks.
     """
-    sym = _symmetric(edges).dropDuplicates(["id1", "id2"]).localCheckpoint(eager=True)
-    labels = (
+    sym = _materialize(_symmetric_dedup(edges.select("id1", "id2")), reliable)
+    labels = _materialize(
         sym.groupBy(F.col("id1").alias("id"))
         .agg(F.min("id2").alias("nmin"))
-        .select("id", F.least("id", "nmin").alias("label"))
-        .localCheckpoint(eager=True)
+        .select("id", F.least("id", "nmin").alias("label")),
+        reliable,
     )
 
     for _ in range(max_iterations):
@@ -52,28 +70,27 @@ def connected_components(edges: DataFrame, max_iterations: int = 40) -> DataFram
         )
         stepped = labels.join(nbr, "id", "left").select(
             "id",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
         # 2) pointer jump: label <- label(label)
         jump_src = stepped.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
-        jumped = (
-            stepped.join(jump_src, stepped.label == jump_src.jid, "left")
-            .select(
+        jumped = _materialize(
+            stepped.join(jump_src, stepped.label == jump_src.jid, "left").select(
                 "id",
+                "old_label",
                 F.least(F.col("label"), F.coalesce("jlabel", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            reliable,
         )
-        converged = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
-        )
-        labels = jumped
-        if converged:
+        labels = jumped.select("id", "label")
+        if jumped.filter(F.col("label") != F.col("old_label")).isEmpty():
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _symmetric_dedup(edges: DataFrame) -> DataFrame:
+    return _symmetric(edges).dropDuplicates(["id1", "id2"])
 
 
 def label_propagation(edges: DataFrame, max_iterations: int = 30) -> DataFrame:

@@ -257,8 +257,15 @@ class NearDupPipeline:
         )
 
         edges = verified.select("id1", "id2").union(exact_edges.select("id1", "id2"))
+        # with a checkpoint dir, the CC loop uses RELIABLE rdd checkpoints
+        # (localCheckpoint blocks don't survive executor loss on a cluster)
+        reliable_cc = bool(self.pcfg.checkpoint_dir)
+        if reliable_cc:
+            spark.sparkContext.setCheckpointDir(
+                os.path.join(self.pcfg.checkpoint_dir, "_cc_rdd_ckpt")
+            )
         components = self._stage(
-            spark, "clusters", lambda: connected_components(edges)
+            spark, "clusters", lambda: connected_components(edges, reliable=reliable_cc)
         )
 
         # every file gets an assignment; singletons cluster with themselves

@@ -120,6 +120,57 @@ def test_foreach_batch_incremental_near_dup(spark, tmp_path):
     assert n_store == 400
 
 
+def test_incremental_candidates_equal_batch_vs_all(spark, tmp_path):
+    """Incrementality contract: candidates emitted for a micro-batch are
+    EXACTLY the full-corpus candidate pairs that involve a new id — the
+    batch never re-derives store-vs-store pairs (per-batch work scales with
+    batch size, not store size)."""
+    from set_sketch_paper_spark.operators import lsh as lsh_ops
+    from set_sketch_paper_spark.streaming.stream_dedup import incremental_candidates
+
+    pdf = files_pandas(400, seed=42)
+    full = (
+        spark.createDataFrame(pdf)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "content")
+    )
+    signed_all = with_minhash_signature(full, PCFG).select("doc_id", "sig", "bands", "n_shingles")
+    store = signed_all.filter(F.xxhash64("doc_id") % 4 != 0).localCheckpoint()
+    batch = signed_all.filter(F.xxhash64("doc_id") % 4 == 0).localCheckpoint()
+    new_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert 50 < len(new_ids) < 150
+
+    got = {
+        (r["id1"], r["id2"])
+        for r in incremental_candidates(batch, store, PCFG, id_col="doc_id").collect()
+    }
+    all_pairs = {
+        (r["id1"], r["id2"])
+        for r in lsh_ops.candidate_pairs(signed_all, PCFG.lsh, id_col="doc_id").collect()
+    }
+    want = {p for p in all_pairs if p[0] in new_ids or p[1] in new_ids}
+    assert got == want
+    # and the store-only pairs were NOT recomputed
+    assert all(p[0] in new_ids or p[1] in new_ids for p in got)
+
+
+def test_store_manifest_refuses_config_mismatch(tmp_path):
+    import dataclasses
+
+    import pytest as _pytest
+
+    from set_sketch_paper_spark.streaming.stream_dedup import (
+        check_or_write_store_manifest,
+    )
+
+    store = str(tmp_path / "mstore")
+    check_or_write_store_manifest(store, PCFG)
+    check_or_write_store_manifest(store, PCFG)  # same config: fine
+    other = dataclasses.replace(PCFG, jaccard_threshold=0.9)
+    with _pytest.raises(ValueError, match="refusing to append"):
+        check_or_write_store_manifest(store, other)
+
+
 def test_windowed_agg_with_watermark(spark, tmp_path):
     """events-style stream: tumbling-window count with a watermark (late
     rows beyond the watermark dropped) equals the batch windowed count."""
