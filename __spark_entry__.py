@@ -491,6 +491,105 @@ def _q_joint_error_mc(spark, sf_dir):
     )
 
 
+def _q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): the standard event-log
+    operator a training-data pipeline needs for behavioral corpora.  Fully
+    relational (two windows + hash agg), oracle-exact."""
+    from pyspark.sql import Window
+
+    # epoch seconds via date arithmetic: TIMESTAMP_NTZ has no direct long
+    # cast and unix_timestamp() would apply the session timezone — this
+    # expression is timezone-independent and matches DuckDB's epoch() on
+    # naive timestamps (both truncate sub-second parts).  Ordering on the
+    # truncated seconds + event_id in BOTH engines keeps ties identical.
+    ts_s_expr = (
+        F.unix_date(F.to_date("ts")) * 86400
+        + F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    ).cast(LongType())
+    ev = _tbl(spark, sf_dir, "events").withColumn("ts_s", ts_s_expr)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_s"), F.asc("event_id"))
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(w).cast(LongType()))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_s").alias("start_epoch"),
+        F.max("ts_s").alias("end_epoch"),
+    )
+
+
+def _q_quality_filtered_dedup(spark, sf_dir):
+    """Composite training-data pipeline stage: quality filter -> exact dedup
+    (keep min doc_id per surviving identical text).  Oracle-exact."""
+    from set_sketch_paper_spark.operators.textstats import with_quality_score
+
+    scored = with_quality_score(_docs(spark, sf_dir), "text")
+    kept = scored.filter(F.col("quality_q") >= 600_000)
+    return kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("quality_q").alias("quality_q")
+    ).select("doc_id", "quality_q")
+
+
+def _q_supplier_nation_acctbal(spark, sf_dir):
+    sup = _tbl(spark, sf_dir, "supplier")
+    nation = _tbl(spark, sf_dir, "nation")
+    cents = F.round(F.col("s_acctbal") * 100).cast(LongType())
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), F.sum(cents).alias("acctbal_cents"))
+    )
+
+
+def _q_bbit_signatures(spark, sf_dir):
+    """b-bit MinHash compaction (Li & Koenig): low 8 bits of each dense
+    register as a binary column — the band-material shrink for bandwidth-
+    bound LSH at scale.  Rows-only (register state)."""
+    from set_sketch_paper_spark.functions.udfs import make_bbit_compaction_udf
+    from set_sketch_paper_spark.operators.signatures import with_minhash_signature
+
+    pcfg = PipelineConfig(
+        shingle=DOC_PCFG.shingle,
+        minhash=MinHashConfig(num_registers=128, algo="dense"),
+        lsh=DOC_PCFG.lsh,
+    )
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    signed = with_minhash_signature(docs, pcfg)
+    bbit = make_bbit_compaction_udf(bits=8)
+    return signed.select("doc_id", bbit(F.col("sig")).alias("bbit_sig"))
+
+
+def _q_hmh_joint_pairs(spark, sf_dir):
+    """HyperMinHash ORIGINAL joint estimator with collision correction
+    (sketch.hpp:1785-1821) over LSH candidate pairs.  Rows-only."""
+    from set_sketch_paper_spark.config import HyperMinHashConfig
+    from set_sketch_paper_spark.functions.udfs import (
+        make_hyperminhash_pair_estimator_udf,
+        make_hyperminhash_sketch_udf,
+    )
+    from set_sketch_paper_spark.operators import lsh as lsh_ops
+    from set_sketch_paper_spark.operators.signatures import with_minhash_signature
+
+    cfg = HyperMinHashConfig(bucketbits=8, bucketsize=6, subbucketsize=10)
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    signed = with_minhash_signature(docs, DOC_PCFG).select("doc_id", "content", "bands")
+    cands = lsh_ops.candidate_pairs(signed, DOC_PCFG.lsh, id_col="doc_id")
+    sk_udf = make_hyperminhash_sketch_udf(cfg, DOC_PCFG.shingle)
+    regs = docs.select(F.col("doc_id").alias("_rid"), sk_udf(F.col("content")).alias("registers"))
+    est_udf = make_hyperminhash_pair_estimator_udf(cfg, method="original")
+    joined = (
+        cands.join(regs.withColumnRenamed("_rid", "id1").withColumnRenamed("registers", "r1"), "id1")
+        .join(regs.withColumnRenamed("_rid", "id2").withColumnRenamed("registers", "r2"), "id2")
+    )
+    return joined.select(
+        "id1", "id2", est_udf(F.col("r1"), F.col("r2")).alias("est")
+    ).select(
+        "id1", "id2",
+        F.col("est.est_jaccard").alias("est_jaccard"),
+        F.col("est.est_intersection").alias("est_intersection"),
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     from set_sketch_paper_spark.operators.multimodal import (
         extract_image_features,
@@ -526,6 +625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_customer_counts": _q_region_customer_counts,
         "orders_by_month": _q_orders_by_month,
         "part_brand_stats": _q_part_brand_stats,
+        "user_sessions": _q_user_sessions,
+        "quality_filtered_dedup": _q_quality_filtered_dedup,
+        "supplier_nation_acctbal": _q_supplier_nation_acctbal,
         # sketch-based (rows-only driver check; accuracy tested in tests/)
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
@@ -543,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_error_mc": _q_cardinality_error_mc,
         "joint_error_mc": _q_joint_error_mc,
         "multimodal_features": _q_multimodal_features,
+        "bbit_signatures": _q_bbit_signatures,
+        "hmh_joint_pairs": _q_hmh_joint_pairs,
     }
 
 
@@ -791,6 +895,47 @@ SELECT n AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY n
             SELECT p_brand, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS sum_size,
                    MAX(CAST(round(p_retailprice * 100) AS BIGINT)) AS max_retail_cents
             FROM part GROUP BY p_brand
+        """,
+        "user_sessions": """
+            WITH base AS (
+              -- floor before the cast: DuckDB CAST(double AS BIGINT) ROUNDS,
+              -- Spark's second() truncates
+              SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+            ), g AS (
+              SELECT user_id, event_id, ts_s,
+                     ts_s - lag(ts_s) OVER (
+                       PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC) AS gap
+              FROM base
+            ), s AS (
+              SELECT user_id, event_id, ts_s,
+                     CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC) AS BIGINT)
+                       AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(ts_s) AS start_epoch, MAX(ts_s) AS end_epoch
+            FROM s GROUP BY user_id, session_id
+        """,
+        "quality_filtered_dedup": _TOKEN_STATS_CTE + """
+            , q AS (
+              SELECT s.doc_id,
+                     CAST(floor((
+                       (CASE WHEN n_tokens >= 20 THEN 1000000 ELSE n_tokens * 50000 END)
+                       + greatest(0, 1000000 - punct_ratio_q * 4)
+                       + greatest(0, 1000000 - digit_ratio_q * 4)
+                     ) / 3) AS BIGINT) AS quality_q,
+                     d.text
+              FROM s JOIN documents d ON s.doc_id = d.doc_id
+            )
+            SELECT MIN(doc_id) AS doc_id, MIN(quality_q) AS quality_q
+            FROM q WHERE quality_q >= 600000 GROUP BY text
+        """,
+        "supplier_nation_acctbal": """
+            SELECT n_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
     }
 

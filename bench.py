@@ -194,16 +194,22 @@ def _scaling_worker(cpus: int, corpus: str, n_files: int) -> None:
     spark.stop()
 
 
-def run_scaling(levels=(8, 32), n_files: int = SCALING_N_FILES, rounds: int = 3) -> dict:
+def run_scaling(levels=(8, 32), n_files: int = SCALING_N_FILES, rounds: int = 5) -> dict:
     """Interleave the two levels across ``rounds`` fresh-JVM subprocess runs
-    (A B A B ...) and take the per-level MIN: on a shared box, wall times
-    drift with neighbor load and page-cache state, so interleaving exposes
-    both levels to the same conditions and min is the stable capacity
-    figure."""
+    (A B A B ...): on a shared box, wall times drift with neighbor load and
+    page-cache state, so interleaving exposes both levels to the same
+    conditions.  Each round records the per-level min-of-reps; the HEADLINE
+    efficiency uses the per-level MEDIAN of those round minima
+    (median-of-round-mins — robust to one lucky/unlucky round), with the
+    min-of-all-rounds ratio reported alongside and full per-round arrays in
+    the output so the two statistics can be compared."""
+    import statistics
     import subprocess
 
     corpus = _ensure_corpus(n_files)
-    results: dict = {}
+    round_secs: dict[int, list[float]] = {c: [] for c in levels}
+    all_reps: dict[int, list[float]] = {c: [] for c in levels}
+    pairs: dict[int, int] = {}
     for _ in range(rounds):
         for cpus in levels:
             proc = subprocess.run(
@@ -212,25 +218,36 @@ def run_scaling(levels=(8, 32), n_files: int = SCALING_N_FILES, rounds: int = 3)
                 capture_output=True, text=True, check=True,
             )
             r = json.loads(proc.stdout.strip().splitlines()[-1])
-            if cpus not in results:
-                results[cpus] = r
-            else:
-                results[cpus]["rep_seconds"] += r["rep_seconds"]
-                if r["seconds"] < results[cpus]["seconds"]:
-                    results[cpus]["seconds"] = r["seconds"]
-                    results[cpus]["files_per_sec"] = r["files_per_sec"]
+            round_secs[cpus].append(r["seconds"])
+            all_reps[cpus] += r["rep_seconds"]
+            pairs[cpus] = r["candidate_pairs"]
     lo, hi = min(levels), max(levels)
-    tp_lo, tp_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi / lo)
+    med = {c: statistics.median(round_secs[c]) for c in levels}
+    best = {c: min(round_secs[c]) for c in levels}
+    eff_median = (n_files / med[hi]) / (n_files / med[lo]) / (hi / lo)
+    eff_min = (n_files / best[hi]) / (n_files / best[lo]) / (hi / lo)
+    results = {
+        c: {
+            "seconds": round(med[c], 3),
+            "files_per_sec": round(n_files / med[c], 1),
+            "candidate_pairs": pairs[c],
+            "round_min_seconds": [round(s, 3) for s in round_secs[c]],
+            "rep_seconds": [round(s, 3) for s in all_reps[c]],
+        }
+        for c in levels
+    }
     out = {
         "metric": "sketch_lsh_scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(eff_median, 3),
         "unit": "ratio",
         "queries": {f"local[{c}]": results[c]["seconds"] for c in levels},
         "sf": "synthetic",
         "n_files": n_files,
+        "rounds": rounds,
+        "efficiency_min_based": round(eff_min, 3),
         "throughput": {f"local[{c}]": results[c]["files_per_sec"] for c in levels},
         "pairs": {f"local[{c}]": results[c]["candidate_pairs"] for c in levels},
+        "round_mins": {f"local[{c}]": results[c]["round_min_seconds"] for c in levels},
         "reps": {f"local[{c}]": results[c]["rep_seconds"] for c in levels},
     }
     _write_bench_baseline(out, levels, results)
@@ -251,21 +268,27 @@ def _write_bench_baseline(out: dict, levels, results) -> None:
         f"LSH(16x8) candidate pairs — run at local[{lo}] and local[{hi}] standing in",
         f"for N and {hi//lo}N executors (both levels fit the box together with their",
         "Python workers, so the ratio is not polluted by oversubscription the way",
-        "a local[32]-on-32-cores level would be).  Warm-up rep excluded; median",
-        "of 3 measured reps.",
+        "a local[32]-on-32-cores level would be).  Protocol: interleaved",
+        f"fresh-JVM rounds (x{out.get('rounds', '?')}), per round the min of 2",
+        "measured reps (warm-up excluded); the headline ratio uses the per-level",
+        "MEDIAN of round minima (robust on a noisy shared host), with the",
+        "min-of-all-rounds ratio reported alongside and the full per-round",
+        "arrays below for scrutiny.",
         "",
-        "| parallelism | seconds | files/sec | candidate pairs |",
-        "|---|---|---|---|",
+        "| parallelism | median sec | files/sec | candidate pairs | round mins |",
+        "|---|---|---|---|---|",
     ]
     for c in levels:
         r = results[c]
         lines.append(
-            f"| local[{c}] | {r['seconds']} | {r['files_per_sec']} | {r['candidate_pairs']} |"
+            f"| local[{c}] | {r['seconds']} | {r['files_per_sec']} | "
+            f"{r['candidate_pairs']} | {r['round_min_seconds']} |"
         )
     lines += [
         "",
-        f"**Scaling efficiency** throughput({hi}) / ({hi//lo} x throughput({lo}))"
-        f" = **{out['value']}** (target >= 0.8).",
+        f"**Scaling efficiency (median-of-round-mins)** throughput({hi}) /"
+        f" ({hi//lo} x throughput({lo})) = **{out['value']}** (target >= 0.8);"
+        f" min-based = {out['efficiency_min_based']}.",
         "",
         "Identical candidate-pair counts at both levels confirm the job is",
         "partitioning-invariant (deterministic kernels, no RNG state across",

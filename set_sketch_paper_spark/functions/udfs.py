@@ -299,6 +299,53 @@ def make_minhash_pair_estimator_udf(mh: MinHashConfig, method: str = "original")
     return _udf
 
 
+def make_bbit_compaction_udf(bits: int = 8):
+    """sig:binary (uint64 registers) -> binary of b-bit compacted registers
+    (Li & Koenig b-bit minwise hashing; sketchlib/minhash.py::bbit_signature).
+    Shrinks LSH band material 8x at bits=8."""
+    from ..sketchlib.minhash import bbit_signature
+
+    @F.pandas_udf(BinaryType())
+    def _udf(sigs: pd.Series) -> pd.Series:
+        if len(sigs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.frombuffer(b"".join(sigs), dtype=np.uint64).reshape(len(sigs), -1)
+        return pd.Series([row.tobytes() for row in bbit_signature(mat, bits=bits)])
+
+    return _udf
+
+
+def make_hyperminhash_pair_estimator_udf(cfg, method: str = "original"):
+    """(bin1, bin2) -> struct of joint estimates for HyperMinHash states.
+
+    method 'original': collision-corrected match-fraction estimator
+    (sketch.hpp:1785-1821); 'new': joint ML over the GHLL-state transform
+    (sketch.hpp:1837-1849).  Both vectorized over the Arrow batch (the
+    collision estimate's level loop is <= 2^bucketsize iterations).
+    """
+    from ..sketchlib.hyperminhash import HyperMinHashEstimator
+
+    @F.pandas_udf(PAIR_ESTIMATE_STRUCT)
+    def _udf(st1: pd.Series, st2: pd.Series) -> pd.DataFrame:
+        cols = ["est_jaccard", "est_intersection", "est_union", "est_cosine"]
+        if len(st1) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.float64) for c in cols})
+        est = HyperMinHashEstimator(cfg.bucketbits, cfg.bucketsize, cfg.subbucketsize)
+        m1 = np.vstack([np.frombuffer(s, dtype=np.uint32) for s in st1])
+        m2 = np.vstack([np.frombuffer(s, dtype=np.uint32) for s in st2])
+        r = est.joint_original(m1, m2) if method == "original" else est.joint_new(m1, m2)
+        return pd.DataFrame(
+            {
+                "est_jaccard": r["jaccard"],
+                "est_intersection": r["intersection"],
+                "est_union": r["union"],
+                "est_cosine": r["cosine"],
+            }
+        )
+
+    return _udf
+
+
 def make_register_pair_estimator_udf(cfg, method: str = "new", joint_corr: bool = True):
     """(bin1, bin2) -> struct of joint estimates for GHLL/SetSketch states.
 
