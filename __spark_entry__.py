@@ -600,6 +600,18 @@ def _q_multimodal_features(spark, sf_dir):
     return extract_image_features(assets, decode_backend="fake")
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """Decode -> nearest-neighbor resample -> raw-buffer re-encode (real
+    numpy kernel; only the image-codec decode is backend-stubbed).
+    Rows-only."""
+    from set_sketch_paper_spark.operators.multimodal import (
+        resize_images,
+        synthetic_assets,
+    )
+
+    return resize_images(synthetic_assets(spark, 200, seed=7), 8, 8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # exact / relational (SQL-oracle-backed)
@@ -645,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_error_mc": _q_cardinality_error_mc,
         "joint_error_mc": _q_joint_error_mc,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_resize": _q_multimodal_resize,
         "bbit_signatures": _q_bbit_signatures,
         "hmh_joint_pairs": _q_hmh_joint_pairs,
     }

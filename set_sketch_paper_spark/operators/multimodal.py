@@ -133,10 +133,45 @@ def sample_video_frames(df: DataFrame, every_nth: int = 4) -> DataFrame:
     return frames
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: schema-complete resize pass-through with target dims recorded.
-    Real pixel resampling requires an image library (NotImplementedError in
-    _decode_real); the plumbing (column contract, narrow map) is in place."""
-    return df.withColumn("target_width", F.lit(width)).withColumn(
-        "target_height", F.lit(height)
-    )
+def _resize_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure numpy integer gather — no image
+    library needed).  Pixel-center sampling: src = floor((dst + 0.5) * scale)."""
+    h, w = px.shape
+    rows = np.minimum(((np.arange(height) + 0.5) * (h / height)).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * (w / width)).astype(np.int64), w - 1)
+    return px[rows[:, None], cols[None, :]]
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, decode_backend: str = "fake"
+) -> DataFrame:
+    """Decode -> nearest-neighbor resample -> re-encode as a raw grayscale
+    buffer, per row inside mapInPandas (narrow; partition-preserving).
+
+    The resample kernel is real numpy (deterministic, library-free); only
+    the DECODE of actual image codecs is behind the backend switch
+    (_decode_real needs PIL, absent in this container — the 'fake' backend
+    produces deterministic pixels with the true shapes).
+    Output: asset_id, kind, width, height (new dims), pixels binary.
+    """
+    decode = _decode_fake if decode_backend == "fake" else _decode_real
+    out_schema = "asset_id long, kind string, width int, height int, pixels binary"
+
+    def go(iterator):
+        for pdf in iterator:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.payload), int(r.width), int(r.height))
+                out = _resize_nearest(px, width, height)
+                rows.append(
+                    {
+                        "asset_id": r.asset_id,
+                        "kind": r.kind,
+                        "width": width,
+                        "height": height,
+                        "pixels": np.ascontiguousarray(out).tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(go, out_schema)
