@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the scale-critical plan shapes must not
+silently degrade (broadcast joins staying broadcast, top-k staying
+TakeOrdered, scans pruning columns, no accidental cartesian products).
+
+These encode the ".explain until it's the plan you'd want" discipline as
+assertions, so a refactor that re-introduces a shuffle/cross-join fails CI
+rather than a 100x-scale run.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_dim_joins_stay_broadcast(spark):
+    plan = _plan(entrymod.queries()["region_customer_counts"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    plan2 = _plan(entrymod.queries()["supplier_nation_acctbal"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_top_customers_is_take_ordered(spark):
+    """The global-window regression: top-k must plan as TakeOrdered (per-
+    partition top-10 + merge), never a single-partition WindowExec."""
+    plan = _plan(entrymod.queries()["top_customers_by_spend"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """token_stats projects 2 of documents' 5 columns; the parquet scan must
+    read only what the query needs (ReadSchema pruning)."""
+    plan = _plan(entrymod.queries()["doc_quality"](spark, SF_DIR))
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan[:1500]
+    for ln in scan_lines:
+        assert "lang" not in ln and "source" not in ln, ln
+
+
+def test_no_cartesian_in_scale_paths(spark):
+    """Every production-position operator must be join-keyed: no cartesian /
+    broadcast-nested-loop anywhere in its plan.  (ann_topk and
+    embedding_near_dup_pairs are the documented O(n^2) oracle twins and are
+    exempt by design.)"""
+    q = entrymod.queries()
+    for name in (
+        "minhash_near_dup_pairs",
+        "lsh_candidates",
+        "ngram_jaccard_pairs",
+        "simhash_pairs",
+        "winnow_substring_pairs",
+        "ann_lsh_topk",
+        "embedding_near_dup_pairs_ann",
+        "ghll_distinct_users",
+        "user_sessions",
+    ):
+        plan = _plan(q[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_signature_udf_evaluated_once(spark):
+    """The posexplode_outer fix: the signature pandas UDF must appear exactly
+    once in the candidate-pairs plan (the plain posexplode variant evaluated
+    it twice via the implicit size>0 filter)."""
+    plan = _plan(entrymod.queries()["lsh_candidates"](spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") <= 1, plan[:2000]
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """exact_dup_groups is one hash aggregate: exactly one Exchange pair
+    (partial+final agg), no join."""
+    plan = _plan(entrymod.queries()["exact_dup_groups"](spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") <= 1, plan[:2000]
