@@ -90,8 +90,11 @@ class NearDupPipeline:
         d = self._stage_dir(stage)
         if not d:
             out = df.localCheckpoint(eager=True)
+            # rows=-1: a separate count() is one extra job per stage, and at
+            # small scale the pipeline is job-overhead-bound; persisted
+            # checkpoints below still record exact per-partition rows
             self.metrics.append(
-                StageMetrics(stage, out.count(), time.time() - t0, False,
+                StageMetrics(stage, -1, time.time() - t0, False,
                              out.rdd.getNumPartitions())
             )
             return out
@@ -230,6 +233,13 @@ class NearDupPipeline:
             base.join(reps.withColumnRenamed("rep_id", "file_id"), ["content_sha", "file_id"])
             .select("file_id", content_col)
         )
+        # the signature UDF is the most expensive narrow stage; a small input
+        # (few parquet row-groups) would run it on 1-2 tasks.  At cluster
+        # scale maxPartitionBytes keeps scans wide; here we widen explicitly
+        # when the source is narrower than the session's parallelism.
+        par = spark.sparkContext.defaultParallelism
+        if rep_rows.rdd.getNumPartitions() < par:
+            rep_rows = rep_rows.repartition(par)
 
         sig_build = lambda: with_minhash_signature(rep_rows, self.pcfg, content_col).select(
             "file_id", "sig", "bands", "n_shingles"

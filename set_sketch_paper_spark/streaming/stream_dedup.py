@@ -85,9 +85,21 @@ def incremental_candidates(
 
     new_bands = lsh_ops.explode_bands(batch_signed, id_col).withColumnRenamed("_id", "_new_id")
     store_bands = lsh_ops.explode_bands(store, id_col).withColumnRenamed("_id", "_store_id")
+    # store-side hot-band cap (same skew guard as the batch band_cap): a
+    # boilerplate band with f store members would emit f rows per batch hit.
+    # The per-bucket count is one map-side-combinable agg over the store
+    # bands (tiny output: one row per occupied bucket); the hot list is
+    # smaller still, so the exclusion is a broadcast anti-join.
+    hot = (
+        store_bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > pcfg.lsh.band_cap)
+        .select("band_idx", "band_hash")
+    )
+    store_ok = store_bands.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
     # new-vs-store (store includes nothing from this batch yet) + new-vs-new
     cross = (
-        store_bands.join(F.broadcast(new_bands), ["band_idx", "band_hash"])
+        store_ok.join(F.broadcast(new_bands), ["band_idx", "band_hash"])
         .filter(F.col("_store_id") != F.col("_new_id"))
         .select(
             F.least("_store_id", "_new_id").alias("id1"),

@@ -154,6 +154,30 @@ def test_incremental_candidates_equal_batch_vs_all(spark, tmp_path):
     assert all(p[0] in new_ids or p[1] in new_ids for p in got)
 
 
+def test_incremental_store_hot_band_capped(spark):
+    """A boilerplate band with more store members than band_cap is excluded
+    from the incremental join (same skew guard as the batch path)."""
+    import dataclasses
+
+    from set_sketch_paper_spark.streaming.stream_dedup import incremental_candidates
+
+    pcfg = dataclasses.replace(PCFG, lsh=dataclasses.replace(PCFG.lsh, band_cap=5))
+    hot, cold = 7777, 4242
+    store = spark.createDataFrame(
+        [(i, [hot]) for i in range(10)] + [(50, [cold])],
+        "doc_id long, bands array<long>",
+    )
+    batch = spark.createDataFrame(
+        [(100, [hot]), (101, [cold])], "doc_id long, bands array<long>"
+    )
+    got = {
+        (r["id1"], r["id2"])
+        for r in incremental_candidates(batch, store, pcfg, id_col="doc_id").collect()
+    }
+    # the hot band (10 > cap=5) contributes nothing; the cold band pairs
+    assert got == {(50, 101)}
+
+
 def test_store_manifest_refuses_config_mismatch(tmp_path):
     import dataclasses
 
