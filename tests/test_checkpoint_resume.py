@@ -103,3 +103,31 @@ def test_bucketed_signature_checkpoint(spark, tmp_path):
     ver = lsh_ops.verified_pairs(pairs, sigs, est, 0.5, id_col="file_id")
     plan = ver._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan[:2000]
+
+
+def test_result_csv_roundtrip_with_config_header(spark, tmp_path):
+    """Reference-style result sink (appendInfo header, sketch.hpp:1969-2018):
+    the descriptor line survives a round-trip and pins the exact config."""
+    from pyspark.sql import functions as F
+
+    from set_sketch_paper_spark.config import GHLLConfig
+    from set_sketch_paper_spark.sources.tables import (
+        read_result_csv,
+        write_result_csv,
+    )
+
+    cfg = GHLLConfig(num_registers=256, q=62)
+    df = spark.range(5).select(
+        F.col("id").alias("cardinality"), (F.col("id") * 2.5).alias("estimate")
+    )
+    path = str(tmp_path / "result.csv")
+    write_result_csv(df, path, cfg)
+    got, info = read_result_csv(spark, path)
+    assert info["name"] == "GHLLConfig"
+    assert int(info["num_registers"]) == 256 and int(info["q"]) == 62
+    assert info["configHash"] == cfg.config_hash()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+    # first line of the file is the descriptor, second the column header
+    with open(path) as f:
+        assert f.readline().startswith("name=GHLLConfig;")
+        assert f.readline().strip() == "cardinality;estimate"
