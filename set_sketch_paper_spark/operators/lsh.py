@@ -2,7 +2,7 @@
 
 Scale design (SURVEY.md §4, north rule):
 - band explosion is a narrow op (posexplode of the per-row band array);
-- bucket grouping is ONE shuffle (groupBy band_idx+band_hash with
+- bucket grouping is ONE shuffle (groupBy the position-salted band_hash with
   collect_list), after which pair expansion is narrow;
 - the band-size cap bounds the quadratic expansion of boilerplate
   mega-buckets (hot-band skew): a bucket of size s yields s(s-1)/2 pairs, so
@@ -23,9 +23,17 @@ from ..config import LSHConfig
 
 
 def explode_bands(df: DataFrame, id_col: str = "file_id", bands_col: str = "bands") -> DataFrame:
-    """(id, bands array) -> (band_idx, band_hash, id), narrow.
+    """(id, bands array) -> (band_hash, id), narrow.
 
-    posexplode_outer, NOT posexplode: the plain generator injects an implicit
+    The bucket key is band_hash ALONE: band_hashes() seeds each band
+    position with its own salt (sketchlib/minhash.py::band_hashes), so the
+    64-bit value already encodes the band identity — carrying band_idx
+    through the shuffle would add key bytes for nothing.  A cross-band
+    64-bit collision merges two buckets (~|rows|^2/2^64 probability) and
+    only costs a spurious candidate pair that verification rejects; the
+    numpy oracle buckets by the same value, so assignments stay bit-equal.
+
+    explode_outer, NOT explode: the plain generator injects an implicit
     `size(bands) > 0 AND isnotnull(bands)` Filter that references the UDF
     output before the projection, which defeats Python-UDF dedup and makes
     Spark evaluate the signature UDF TWICE per row (seen in the formatted
@@ -34,8 +42,27 @@ def explode_bands(df: DataFrame, id_col: str = "file_id", bands_col: str = "band
     """
     return df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode_outer(F.col(bands_col)).alias("band_idx", "band_hash"),
+        F.explode_outer(F.col(bands_col)).alias("band_hash"),
     ).filter(F.col("band_hash").isNotNull())
+
+
+_PAIR_EXPR = (
+    "flatten(transform(ids, (x, i) -> "
+    "transform(slice(ids, i + 2, size(ids)), y -> "
+    "struct(least(x, y) as id1, greatest(x, y) as id2))))"
+)
+
+
+def _expand_buckets(buckets: DataFrame) -> DataFrame:
+    """(.., ids array) -> (id1 < id2) rows: the s(s-1)/2 i<j pairs per bucket
+    in ONE codegen'd expression — a double explode would instead materialize
+    s rows each carrying the full ids array (s^2 array copies per bucket,
+    measured 4x slower)."""
+    return (
+        buckets.select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
+        .select("p.id1", "p.id2")
+        .filter(F.col("id1") != F.col("id2"))
+    )
 
 
 def candidate_pairs(
@@ -44,38 +71,50 @@ def candidate_pairs(
     id_col: str = "file_id",
     bands_col: str = "bands",
     with_skipped: bool = False,
+    hot_mode: str = "drop",
 ):
     """All distinct id pairs sharing >= 1 LSH bucket, bucket size capped.
 
-    Returns pairs DataFrame (id1 < id2), and optionally the skipped
-    oversized-bucket summary (band_idx, band_hash, bucket_size).
+    Hot buckets (size > band_cap — boilerplate bands) are handled per
+    ``hot_mode``:
+    - 'drop' (default): excluded and reported via ``with_skipped`` — the
+      deterministic-recall mode the numpy oracle mirrors;
+    - 'salt': SPLIT into ceil(size/cap) hash-salted sub-buckets and paired
+      within each sub-bucket (the north-star "salt hot shingle bands to
+      defuse skew" mode): cost stays O(size * cap) instead of O(size^2),
+      trading uniform ~cap/size within-band recall on boilerplate bands —
+      true near-dups still collide in their other, non-hot bands.
+
+    Returns pairs DataFrame (id1 < id2), and optionally the skipped/salted
+    oversized-bucket summary (band_hash, bucket_size).
     """
     exploded = explode_bands(df, id_col, bands_col)
-    buckets = exploded.groupBy("band_idx", "band_hash").agg(
+    buckets = exploded.groupBy("band_hash").agg(
         F.collect_list("_id").alias("ids")
     )
     sized = buckets.withColumn("bucket_size", F.size("ids"))
     ok = sized.filter((F.col("bucket_size") >= 2) & (F.col("bucket_size") <= lsh.band_cap))
-    # generate the s(s-1)/2 i<j pairs per bucket in ONE codegen'd expression:
-    # a double explode would instead materialize s rows each carrying the
-    # full ids array (s^2 array copies per bucket — measured 4x slower)
-    pair_expr = F.explode(
-        F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids)), y -> "
-            "struct(least(x, y) as id1, greatest(x, y) as id2))))"
+    pairs = _expand_buckets(ok)
+    hot = sized.filter(F.col("bucket_size") > lsh.band_cap)
+    if hot_mode == "salt":
+        # re-shuffle ONLY the hot-band membership rows (rare by definition)
+        # with a deterministic per-id salt; sub-buckets are ~cap-sized w.h.p.
+        n_sub = F.ceil(F.col("bucket_size") / F.lit(lsh.band_cap)).cast("long")
+        hot_rows = hot.select(
+            "band_hash", n_sub.alias("_nsub"), F.explode("ids").alias("_id")
         )
-    ).alias("p")
-    pairs = (
-        ok.select(pair_expr)
-        .select("p.id1", "p.id2")
-        .filter(F.col("id1") != F.col("id2"))
-        .dropDuplicates(["id1", "id2"])
-    )
+        salted = hot_rows.withColumn("_salt", F.pmod(F.xxhash64("_id"), F.col("_nsub")))
+        hot_buckets = (
+            salted.groupBy("band_hash", "_salt")
+            .agg(F.collect_list("_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        pairs = pairs.union(_expand_buckets(hot_buckets))
+    elif hot_mode != "drop":
+        raise ValueError(f"unknown hot_mode {hot_mode!r} (expected 'drop' or 'salt')")
+    pairs = pairs.dropDuplicates(["id1", "id2"])
     if with_skipped:
-        skipped = sized.filter(F.col("bucket_size") > lsh.band_cap).select(
-            "band_idx", "band_hash", "bucket_size"
-        )
+        skipped = hot.select("band_hash", "bucket_size")
         return pairs, skipped
     return pairs
 

@@ -61,10 +61,13 @@ def oracle_near_dup(
                                 pcfg.minhash.seed, pcfg.minhash.algo)
     bands = band_hashes(sigs, pcfg.lsh.num_bands, pcfg.lsh.rows_per_band, pcfg.lsh.seed)
 
+    # bucket key = band_hash VALUE alone (position already salted into the
+    # hash by band_hashes) — must mirror operators/lsh.py::explode_bands
+    # exactly for the bit-exact recall gate
     buckets: dict = defaultdict(list)
     for i in range(len(ids)):
         for b in range(pcfg.lsh.num_bands):
-            buckets[(b, int(bands[i, b]))].append(i)
+            buckets[int(bands[i, b])].append(i)
 
     cand = set()
     for members in buckets.values():

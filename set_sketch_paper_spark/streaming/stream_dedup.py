@@ -78,7 +78,7 @@ def incremental_candidates(
 
     Per-batch work is O(|batch| x bucket hit rate), independent of store
     size on the batch side; the store side is one partitioned scan + hash
-    join on (band_idx, band_hash).  The small batch side is broadcast.
+    join on band_hash.  The small batch side is broadcast.
     Output: (id1 < id2) distinct pairs where at least one id is new.
     """
     from ..operators import lsh as lsh_ops
@@ -91,15 +91,15 @@ def incremental_candidates(
     # bands (tiny output: one row per occupied bucket); the hot list is
     # smaller still, so the exclusion is a broadcast anti-join.
     hot = (
-        store_bands.groupBy("band_idx", "band_hash")
+        store_bands.groupBy("band_hash")
         .agg(F.count(F.lit(1)).alias("_bsz"))
         .filter(F.col("_bsz") > pcfg.lsh.band_cap)
-        .select("band_idx", "band_hash")
+        .select("band_hash")
     )
-    store_ok = store_bands.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+    store_ok = store_bands.join(F.broadcast(hot), ["band_hash"], "left_anti")
     # new-vs-store (store includes nothing from this batch yet) + new-vs-new
     cross = (
-        store_ok.join(F.broadcast(new_bands), ["band_idx", "band_hash"])
+        store_ok.join(F.broadcast(new_bands), ["band_hash"])
         .filter(F.col("_store_id") != F.col("_new_id"))
         .select(
             F.least("_store_id", "_new_id").alias("id1"),

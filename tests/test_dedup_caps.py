@@ -114,3 +114,40 @@ def test_simhash_block_cap_engages(spark):
     assert _pairs_set(loose) == set(itertools.combinations(range(8), 2))
     capped = simhash_near_dup_pairs(docs, pcfg, hamming_threshold=3, block_cap=7)
     assert _pairs_set(capped) == set()
+
+
+def test_lsh_hot_band_salt_mode(spark):
+    """hot_mode='salt': oversized bands are split into hash-salted
+    sub-buckets instead of dropped — bounded pair expansion, partial
+    within-band recall, cold bands unaffected."""
+    from pyspark.sql import functions as F
+
+    from set_sketch_paper_spark.operators.lsh import candidate_pairs
+
+    HOT, COLD = 7_000_001, 4_000_001
+    rows = [(i, [HOT]) for i in range(12)] + [(20, [COLD]), (21, [COLD])]
+    df = spark.createDataFrame(rows, "file_id long, bands array<long>")
+    lsh_cfg = LSHConfig(num_bands=1, rows_per_band=1, band_cap=4)
+
+    dropped, skipped = candidate_pairs(df, lsh_cfg, with_skipped=True, hot_mode="drop")
+    assert _pairs_set(dropped) == {(20, 21)}
+    assert [r["bucket_size"] for r in skipped.collect()] == [12]
+
+    salted = candidate_pairs(df, lsh_cfg, hot_mode="salt")
+    got = _pairs_set(salted)
+    assert (20, 21) in got
+    hot_pairs = got - {(20, 21)}
+    assert hot_pairs  # the hot band now contributes bounded sub-bucket pairs
+    # every hot pair must share the deterministic salt (ceil(12/4)=3 groups)
+    salt_of = {
+        r["file_id"]: r["s"]
+        for r in df.select(
+            "file_id", F.pmod(F.xxhash64("file_id"), F.lit(3)).alias("s")
+        ).collect()
+    }
+    for a, b in hot_pairs:
+        assert salt_of[a] == salt_of[b], (a, b)
+    # bounded: strictly fewer pairs than the uncapped 12*11/2
+    assert len(hot_pairs) < 66
+    with pytest.raises(ValueError):
+        candidate_pairs(df, lsh_cfg, hot_mode="bogus")
