@@ -368,11 +368,12 @@ def main() -> None:
     ap.add_argument("--scaling-worker", nargs=3, metavar=("CPUS", "CORPUS", "NFILES"),
                     help="internal: one scaling level in this process")
     ap.add_argument("--kernels", action="store_true", help="numpy kernel ns/elem microbench")
-    # local[4] vs local[16]: N and 4N cores, both levels fit the 32-CPU box
-    # including their Python workers (local[8] vs local[32] oversubscribes
-    # the high level and penalizes it with contention that a real 4N-executor
-    # cluster would not have)
-    ap.add_argument("--levels", type=str, default="4,16")
+    # local[2] vs local[8]: N and 4N cores, both below the shared host's
+    # DRAM-bandwidth ceiling (at 16+ threads the memory-streaming numpy
+    # kernels saturate bandwidth and core-seconds inflate — a single-box
+    # artifact a real 4N-executor cluster, with 4x the memory channels,
+    # does not have; see BENCH/BASELINE.md companion measurement)
+    ap.add_argument("--levels", type=str, default="2,8")
     args = ap.parse_args()
     if args.scaling_worker:
         cpus, corpus, nf = args.scaling_worker
