@@ -100,8 +100,22 @@ def run_default() -> dict:
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    # warm the JVM/Arrow path once so q1 doesn't absorb session startup
+    # warm the JVM AND the Arrow/pandas-UDF worker pool once so q1 doesn't
+    # absorb session startup (forking CPUS python workers costs seconds and
+    # is per-session, not per-query, capacity) — one task per core through
+    # the real signature UDF
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    from set_sketch_paper_spark.functions.udfs import make_minhash_signature_udf
+
+    warm_udf = make_minhash_signature_udf(entrymod.DOC_PCFG)
+    (
+        spark.range(CPUS * 4, numPartitions=CPUS)
+        .select(warm_udf(F.lit("warm up text for the arrow path")).alias("s"))
+        .select(F.sum("s.n_shingles"))
+        .collect()
+    )
     for name in HEADLINE:
         sec, n = _time_query(spark, qmap[name], SF_DIR)
         timings[name] = round(sec, 3)
