@@ -491,6 +491,20 @@ def _q_joint_error_mc(spark, sf_dir):
     )
 
 
+def _q_training_pipeline_clusters(spark, sf_dir):
+    """The full training-data dedup flow as ONE composite query: quality
+    filter -> exact-dup short-circuit -> MinHash-OPH LSH near-dup ->
+    connected components.  Rows-only (sketch state inside); each stage is
+    individually oracle- or statistically-gated elsewhere."""
+    from set_sketch_paper_spark.operators.textstats import with_quality_score
+    from set_sketch_paper_spark.plans.pipeline import NearDupPipeline
+
+    docs = with_quality_score(_docs(spark, sf_dir), "text")
+    kept = docs.filter(F.col("quality_q") >= 600_000).withColumnRenamed("text", "content")
+    result = NearDupPipeline(DOC_PCFG).run(kept, id_cols=("doc_id",))
+    return result.clusters
+
+
 def _q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity): the standard event-log
     operator a training-data pipeline needs for behavioral corpora.  Fully
@@ -660,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "bbit_signatures": _q_bbit_signatures,
         "hmh_joint_pairs": _q_hmh_joint_pairs,
+        "training_pipeline_clusters": _q_training_pipeline_clusters,
     }
 
 

@@ -298,3 +298,31 @@ def test_hyperminhash_joint_original_collision_corrected(rng):
         j05.append(est.joint_original(sa, sb)["jaccard"][0])
     assert abs(float(np.mean(j0))) < 0.02, np.mean(j0)
     assert abs(float(np.mean(j05)) - 0.5) < 0.06, np.mean(j05)
+
+
+def test_hmh_joint_original_golden_csv_parity(rng):
+    """Parity with the reference's HyperMinHash golden CSV (joint_test,
+    m=4096 bucketBits=12 bucketSize=6 subBucketSize=10): at
+    (d1,d2,inter)=(250,250,500) with known cardinalities the
+    collision-corrected original estimator has mean jaccard 0.500033,
+    mse 3.19e-5.  Our MC mean must land within 5 standard errors."""
+    from set_sketch_paper_spark.sketchlib.hyperminhash import (
+        HyperMinHashEstimator,
+        hyperminhash_sketch,
+    )
+
+    bb, bs, sbs = 12, 6, 10
+    est = HyperMinHashEstimator(bb, bs, sbs)
+    n_ex = 40
+    vals = []
+    for i in range(n_ex):
+        a, b = make_pair(rng, 250, 250, 500)
+        sa = hyperminhash_sketch(a, bb, bs, sbs, seed=5200 + i)
+        sb = hyperminhash_sketch(b, bb, bs, sbs, seed=5200 + i)
+        vals.append(
+            est.joint_original(sa, sb, card1=[750.0], card2=[750.0])["jaccard"][0]
+        )
+    mean = float(np.mean(vals))
+    g_mean, g_mse = 0.50003337701556905, 3.190445110887083e-05
+    sd = math.sqrt(g_mse)
+    assert abs(mean - g_mean) < 5.0 * sd / math.sqrt(n_ex) + 0.003, mean
