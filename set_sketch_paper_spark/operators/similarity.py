@@ -102,10 +102,15 @@ def _hyperplane_codes_udf(n_bits: int, n_tables: int, seed: int):
 
 
 def _coded(corpus: DataFrame, id_col: str, vec_col: str, n_bits: int,
-           n_tables: int, seed: int, bucket_cap: int) -> DataFrame:
-    """(_id, qv, norm, table_idx, code) rows, with hot buckets dropped.
+           n_tables: int, seed: int, bucket_cap: int):
+    """Returns (slim, vecs): slim = (_id, table_idx, code) ID-ONLY bucket
+    membership rows with hot buckets dropped; vecs = (_id, qv, norm) one row
+    per vector.
 
-    The bucket-size side table has at most n_tables * 2^n_bits rows, so the
+    Candidate generation self-joins slim (ids only — the pair-dedup shuffle
+    never carries the quantized vectors); scoring joins vecs back by id,
+    exactly the LSH verify shape (operators/lsh.py::verified_pairs).  The
+    bucket-size side table has at most n_tables * 2^n_bits rows, so the
     hot-bucket filter is a broadcast join — no extra big-side shuffle.
     """
     codes_udf = _hyperplane_codes_udf(n_bits, n_tables, seed)
@@ -114,17 +119,31 @@ def _coded(corpus: DataFrame, id_col: str, vec_col: str, n_bits: int,
         .withColumn("_codes", codes_udf(F.col("_v")))
         .withColumn("qv", _quantized(F.col("_v")))
         .withColumn("norm", _dot(F.col("qv"), F.col("qv")))
+        .drop("_v")
+        .persist()  # codes UDF + quantization evaluated once for all branches
     )
     slim = coded.select(
-        "_id", "qv", "norm",
-        F.posexplode(F.col("_codes")).alias("table_idx", "code"),
-    ).persist()  # sizes agg + pair join both read slim: one UDF evaluation
+        "_id", F.posexplode(F.col("_codes")).alias("table_idx", "code")
+    )
     sizes = slim.groupBy("table_idx", "code").agg(F.count(F.lit(1)).alias("_bsz"))
-    return (
+    slim_ok = (
         slim.join(F.broadcast(sizes), ["table_idx", "code"])
         .filter(F.col("_bsz") <= bucket_cap)
         .drop("_bsz")
     )
+    vecs = coded.select("_id", "qv", "norm")
+    return slim_ok, vecs
+
+
+def _join_vectors(pairs: DataFrame, vecs: DataFrame, left: str, right: str) -> DataFrame:
+    """Attach (qv, norm) for both pair sides by id."""
+    v1 = vecs.select(
+        F.col("_id").alias(left), F.col("qv").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    v2 = vecs.select(
+        F.col("_id").alias(right), F.col("qv").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    return pairs.join(v1, left).join(v2, right)
 
 
 def hyperplane_ann_topk(
@@ -144,7 +163,7 @@ def hyperplane_ann_topk(
     hyperplane cells); exact integer-quantized cosine re-ranks candidates.
     Recall vs brute force is tested in tests/test_similarity.py.
     """
-    slim = _coded(corpus, id_col, vec_col, n_bits, n_tables, seed, bucket_cap)
+    slim, vecs = _coded(corpus, id_col, vec_col, n_bits, n_tables, seed, bucket_cap)
     cand = (
         slim.alias("a")
         .join(slim.alias("b"), ["table_idx", "code"])
@@ -152,15 +171,13 @@ def hyperplane_ann_topk(
         .select(
             F.col("a._id").alias("query_id"),
             F.col("b._id").alias("neighbor_id"),
-            F.col("a.qv").alias("qv"),
-            F.col("b.qv").alias("cv"),
-            F.col("a.norm").alias("qnorm"),
-            F.col("b.norm").alias("cnorm"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("dot", _dot(F.col("qv"), F.col("cv"))).withColumn(
-        "cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm"))
+    scored = (
+        _join_vectors(cand, vecs, "query_id", "neighbor_id")
+        .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
+        .withColumn("cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
     return (
@@ -187,23 +204,17 @@ def cosine_near_dup_pairs_ann(
     pair's cos_q is bit-equal to the exact path's — ANN only affects recall
     (multi-table probing; recall vs exact is asserted in tests).
     Output: (id1 < id2, cos_q >= threshold_q)."""
-    slim = _coded(corpus, id_col, vec_col, n_bits, n_tables, seed, bucket_cap)
+    slim, vecs = _coded(corpus, id_col, vec_col, n_bits, n_tables, seed, bucket_cap)
     cand = (
         slim.alias("a")
         .join(slim.alias("b"), ["table_idx", "code"])
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id1"),
-            F.col("b._id").alias("id2"),
-            F.col("a.qv").alias("qv"),
-            F.col("b.qv").alias("cv"),
-            F.col("a.norm").alias("qnorm"),
-            F.col("b.norm").alias("cnorm"),
-        )
+        .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
     return (
-        cand.withColumn("dot", _dot(F.col("qv"), F.col("cv")))
+        _join_vectors(cand, vecs, "id1", "id2")
+        .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
         .withColumn("cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm")))
         .filter(F.col("cos_q") >= threshold_q)
         .select("id1", "id2", "cos_q")
