@@ -145,7 +145,9 @@ def ngram_jaccard_pairs(
     sf<=0.1 is unaffected; production callers tune it and consume the
     skipped-key report via shared_key_pair_counts(with_skipped=True).
     """
-    toks = df.select(
+    from ..operators.signatures import widen_if_narrow
+
+    toks = widen_if_narrow(df).select(
         F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("t")
     )
     grams = toks.select(
@@ -214,9 +216,11 @@ def winnow_substring_pairs(
     """
     from ..functions.textstats_udfs import make_winnow_fingerprint_udf
 
+    from ..operators.signatures import widen_if_narrow
+
     shingle_cfg = shingle_cfg or ShingleConfig(k=8)
     udf = make_winnow_fingerprint_udf(shingle_cfg, window=window)
-    fp = df.select(
+    fp = widen_if_narrow(df).select(
         F.col(id_col).alias("_id"), F.explode(udf(F.col(text_col))).alias("g")
     )
     inter = shared_key_pair_counts(fp, fp_cap, min_shared)
@@ -245,8 +249,9 @@ def simhash_near_dup_pairs(
     verify needs no join back.
     """
     from ..functions.textstats_udfs import make_simhash_udf
+    from ..operators.signatures import widen_if_narrow
 
-    sim = df.select(
+    sim = widen_if_narrow(df).select(
         F.col(id_col).alias("_id"),
         make_simhash_udf(pcfg.shingle)(F.col(text_col)).alias("simhash"),
     )

@@ -233,14 +233,6 @@ class NearDupPipeline:
             base.join(reps.withColumnRenamed("rep_id", "file_id"), ["content_sha", "file_id"])
             .select("file_id", content_col)
         )
-        # the signature UDF is the most expensive narrow stage; a small input
-        # (few parquet row-groups) would run it on 1-2 tasks.  At cluster
-        # scale maxPartitionBytes keeps scans wide; here we widen explicitly
-        # when the source is narrower than the session's parallelism.
-        par = spark.sparkContext.defaultParallelism
-        if rep_rows.rdd.getNumPartitions() < par:
-            rep_rows = rep_rows.repartition(par)
-
         sig_build = lambda: with_minhash_signature(rep_rows, self.pcfg, content_col).select(
             "file_id", "sig", "bands", "n_shingles"
         )
