@@ -112,13 +112,19 @@ def incremental_candidates(
 
 def foreach_batch_near_dup(pcfg: PipelineConfig, signature_store_path: str,
                            id_col: str = "doc_id", content_col: str = "content",
-                           sink=None):
+                           sink=None, verify: bool = False):
     """foreachBatch hook: sketch the micro-batch, emit LSH candidates of the
     NEW rows vs the store (incremental — per-batch cost scales with batch
     size, not corpus size), then append the batch to the store.
 
+    ``verify=True`` runs the same known-cardinality joint estimation +
+    threshold as the batch pipeline over the incremental candidates (both
+    pair sides' signatures come from the store ∪ batch), so the streamed
+    verified pairs are bit-identical to what a batch run would emit for
+    those pairs.
+
     ``sink``: optional callable(pairs_df, batch_id) for downstream
-    verify/cluster; defaults to materializing the count.
+    clustering/persistence; defaults to materializing the count.
 
     Usage::
 
@@ -139,13 +145,24 @@ def foreach_batch_near_dup(pcfg: PipelineConfig, signature_store_path: str,
             f.endswith(".parquet") or f == "_SUCCESS"
             for f in os.listdir(signature_store_path)
         )
+        from ..operators import lsh as lsh_ops
+
         if has_store:
             store = spark.read.parquet(signature_store_path)
             pairs = incremental_candidates(signed, store, pcfg, id_col)
+            all_sigs = store.select(id_col, "sig", "n_shingles").union(
+                signed.select(id_col, "sig", "n_shingles")
+            )
         else:
-            from ..operators import lsh as lsh_ops
-
             pairs = lsh_ops.candidate_pairs(signed, pcfg.lsh, id_col=id_col)
+            all_sigs = signed.select(id_col, "sig", "n_shingles")
+        if verify:
+            from ..functions.udfs import make_minhash_pair_estimator_udf
+
+            est_udf = make_minhash_pair_estimator_udf(pcfg.minhash, "original")
+            pairs = lsh_ops.verified_pairs(
+                pairs, all_sigs, est_udf, pcfg.jaccard_threshold, id_col=id_col
+            )
         if sink is not None:
             sink(pairs, batch_id)
         else:

@@ -154,6 +154,45 @@ def test_incremental_candidates_equal_batch_vs_all(spark, tmp_path):
     assert all(p[0] in new_ids or p[1] in new_ids for p in got)
 
 
+def test_streamed_verified_pairs_equal_batch(spark, tmp_path):
+    """verify=True: the union of per-batch verified pairs over all tranches
+    equals the batch pipeline's verified pairs on the full corpus, with
+    bit-identical est_jaccard (each pair is emitted by the tranche that
+    delivers its later member; the estimator call is the same numpy path)."""
+    from set_sketch_paper_spark.operators.dedup import minhash_near_dup_pairs
+    from set_sketch_paper_spark.streaming.stream_dedup import foreach_batch_near_dup
+
+    pdf = files_pandas(300, seed=42)
+    full = (
+        spark.createDataFrame(pdf)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "content")
+        .localCheckpoint()
+    )
+    want = {
+        (r["id1"], r["id2"]): r["est_jaccard"]
+        for r in minhash_near_dup_pairs(full, PCFG).collect()
+    }
+    assert want  # the synthetic corpus plants near-dups
+
+    store = str(tmp_path / "vstore")
+    got: dict = {}
+
+    def sink(pairs_df, batch_id):
+        for r in pairs_df.collect():
+            got[(r["id1"], r["id2"])] = r["est_jaccard"]
+
+    handle = foreach_batch_near_dup(
+        PCFG, store, id_col="doc_id", content_col="content",
+        sink=sink, verify=True,
+    )
+    tranche1 = full.filter(F.xxhash64("doc_id") % 3 == 0)
+    tranche2 = full.filter(F.xxhash64("doc_id") % 3 != 0)
+    handle(tranche1, 0)
+    handle(tranche2, 1)
+    assert got == want
+
+
 def test_incremental_store_hot_band_capped(spark):
     """A boilerplate band with more store members than band_cap is excluded
     from the incremental join (same skew guard as the batch path)."""
