@@ -312,6 +312,12 @@ def _write_bench_baseline(out: dict, levels, results) -> None:
         json.dumps(out),
         "```",
     ]
+    # durable analysis sections (companion measurements, kernel tables) live
+    # in BENCH/NOTES.md and are re-appended on every regeneration
+    notes_path = os.path.join(REPO, "BENCH", "NOTES.md")
+    if os.path.exists(notes_path):
+        with open(notes_path) as nf:
+            lines += ["", nf.read().rstrip()]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
