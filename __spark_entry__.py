@@ -210,6 +210,23 @@ def _q_embedding_near_dup_clusters(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dup_clusters_ann(spark, sf_dir):
+    """Production embedding near-dup CLUSTERS: ANN-bucketed pairs ->
+    pointer-jumping connected components.  Rows-only (LSH candidates); the
+    exact twin embedding_near_dup_clusters is the recursive-CTE-oracled
+    counterpart."""
+    from set_sketch_paper_spark.operators.clustering import connected_components
+    from set_sketch_paper_spark.operators.similarity import cosine_near_dup_pairs_ann
+
+    edges = cosine_near_dup_pairs_ann(
+        _tbl(spark, sf_dir, "embeddings"), threshold_q=400_000,
+        n_bits=4, n_tables=24,
+    )
+    return connected_components(edges).select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+
+
 def _q_events_histogram(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     return ev.groupBy(
@@ -665,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_substring_pairs": _q_winnow_substring_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup_pairs_ann": _q_embedding_near_dup_pairs_ann,
+        "embedding_near_dup_clusters_ann": _q_embedding_near_dup_clusters_ann,
         "minhash_est_cardinality": _q_minhash_est_cardinality,
         "ghll_joint_pairs": _q_ghll_joint_pairs,
         "hmh_doc_cardinality": _q_hmh_doc_cardinality,
