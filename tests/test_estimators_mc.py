@@ -326,3 +326,25 @@ def test_hmh_joint_original_golden_csv_parity(rng):
     g_mean, g_mse = 0.50003337701556905, 3.190445110887083e-05
     sd = math.sqrt(g_mse)
     assert abs(mean - g_mean) < 5.0 * sd / math.sqrt(n_ex) + 0.003, mean
+
+
+def test_ghll_golden_cardinality_parity(rng):
+    """Parity with the reference's GHLL golden CSV (m=256, q=62, b=2,
+    card_range_correction on): simple-estimator MC mean at grid points
+    900 and 9036 within 5 standard errors + small kernel slack."""
+    m, base, q = 256, 2.0, 62
+    est = SetSketchEstimator(q, 1.0 / m, base, m, True, False, False)
+    golden = {
+        900: (9.03564984052229534e02, 2.57497656015920984e03),
+        9036: (9.07460441207162876e03, 3.39069586828672967e05),
+    }
+    n_ex = 150
+    for card, (g_mean, g_mse) in golden.items():
+        regs = np.vstack(
+            [ghll_sketch(random_u64(rng, card), m, base, q, seed=9700 + i)
+             for i in range(n_ex)]
+        )
+        mean = float(np.mean(est.cardinality_simple(regs)))
+        sd = math.sqrt(max(g_mse - (g_mean - card) ** 2, 1e-9))
+        tol = 5.0 * sd / math.sqrt(n_ex) + 0.005 * card
+        assert abs(mean - g_mean) < tol, (card, mean, g_mean, tol)

@@ -79,3 +79,26 @@ def test_derive_keys_distinct():
     assert len(np.unique(k)) == 4096
     k2 = derive_keys(43, 4096)
     assert not np.array_equal(k, k2)
+
+
+def test_linear_register_hash_family_uniform_and_independent():
+    """The dense-MinHash register family h_j(e) = A(e) + key_j * B(e):
+    per-register KS uniformity and near-zero cross-register correlation —
+    the statistical contract the linear construction must keep for
+    min-value statistics (SURVEY.md 5.2)."""
+    rng = np.random.RandomState(42)
+    n = 50_000
+    vals = rng.randint(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+    A = splitmix64(vals ^ np.uint64(0x71C9_5EED_A11C_E001))
+    B = splitmix64(vals ^ np.uint64(0x2545_F491_4F6C_DD1D)) | np.uint64(1)
+    keys = derive_keys(123, 4)
+    with np.errstate(over="ignore"):
+        h = A[:, None] + B[:, None] * keys[None, :]
+    u = (h >> np.uint64(11)).astype(np.float64) * 2.0**-53
+    for j in range(4):
+        p = ks_pvalue(u[:, j], lambda x: np.clip(x, 0, 1))
+        assert p > 0.01, (j, p)
+    # cross-register Pearson correlation on uniforms ~ N(0, 1/sqrt(n))
+    for j in range(1, 4):
+        rho = float(np.corrcoef(u[:, 0], u[:, j])[0, 1])
+        assert abs(rho) < 4.5 / math.sqrt(n), (j, rho)
