@@ -109,12 +109,23 @@ def hll_sketches_batch(
     vals = np.asarray(values, dtype=U64)
     if len(vals):
         h = splitmix64(vals ^ splitmix64(np.array([seed & 0xFFFFFFFFFFFFFFFF], dtype=U64))[0])
-        idx = (h >> U64(64 - p)).astype(np.int64)
-        x = ~h  # trailing ones of h == trailing zeros of ~h
-        lb = x & (np.uint64(0) - x)
-        with np.errstate(divide="ignore"):
-            t_ones = np.where(lb > 0, np.log2(lb.astype(np.float64)), 64.0).astype(np.int64)
+        idx = h >> U64(64 - p)
+        # trailing ones of h == exponent of the lowest set bit of ~h;
+        # frexp's exponent IS log2(lb)+1 for exact powers of two (no log
+        # call, no where: lb == 0 -> frexp exponent 0 -> t_ones = -1,
+        # impossible here because idx bits guarantee ~h != 0 only when
+        # h != all-ones — that single value maps to t_ones = 63 via min(q))
+        x = ~h
+        lb = (x & (np.uint64(0) - x)).astype(np.float64)
+        t_ones = np.frexp(lb)[1] - 1  # int32 exponents
+        t_ones = np.where(t_ones < 0, 64, t_ones).astype(np.int64)
         k = 1 + np.minimum(t_ones, q)
-        row_of_value = np.repeat(np.arange(rows, dtype=np.int64), sizes)
-        np.maximum.at(regs_flat, row_of_value * m + idx, k)
+        if rows == 1:
+            flat = idx
+        else:
+            row_of_value = np.repeat(np.arange(rows, dtype=U64), sizes)
+            row_of_value *= U64(m)
+            idx = idx + row_of_value
+            flat = idx
+        np.maximum.at(regs_flat, flat, k)
     return regs_flat.reshape(rows, m).astype(dtype), sizes
