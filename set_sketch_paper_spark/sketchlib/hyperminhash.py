@@ -26,20 +26,19 @@ import math
 import numpy as np
 
 from .estimators import SetSketchEstimator, joint_from_jaccard
-from .hashing import U64, lemire_bounded, splitmix64
+from .hashing import U64, splitmix64
 
 _K_VAL = U64(0x1717_C0DE_BA5E_0001)
-_K_IDX = U64(0x1717_C0DE_BA5E_0002)
-_K_AUG = U64(0x1717_C0DE_BA5E_0003)
 
 
 def _trailing_ones(y: np.ndarray) -> np.ndarray:
-    """Count of trailing 1-bits of each uint64 (64 for all-ones)."""
+    """Count of trailing 1-bits of each uint64 (64 for all-ones).
+    frexp exponent of the lowest set bit of ~y == position+1 (exact for
+    powers of two; no transcendental)."""
     x = ~np.asarray(y, dtype=U64)  # trailing ones of y == trailing zeros of x
-    lb = x & (np.uint64(0) - x)  # lowest set bit (0 if x == 0)
-    with np.errstate(divide="ignore"):
-        tz = np.where(lb > 0, np.log2(lb.astype(np.float64)), 64.0)
-    return tz.astype(np.int64)
+    lb = (x & (np.uint64(0) - x)).astype(np.float64)  # lowest set bit (0 if x == 0)
+    t = np.frexp(lb)[1] - 1
+    return np.where(t < 0, 64, t).astype(np.int64)
 
 
 def hyperminhash_sketches_batch(
@@ -63,10 +62,17 @@ def hyperminhash_sketches_batch(
     vals = np.asarray(values, dtype=U64)
     if len(vals):
         skey = U64(seed & 0xFFFFFFFFFFFFFFFF)
-        y = splitmix64(vals ^ _K_VAL ^ skey)
-        val = np.minimum(1 + _trailing_ones(y), 1 << bucketsize)
-        idx = lemire_bounded(splitmix64(vals ^ _K_IDX ^ skey), m)
-        aug = (splitmix64(vals ^ _K_AUG ^ skey) & U64((1 << subbucketsize) - 1)).astype(np.int64)
+        # ONE mix per element, disjoint bit fields: trailing-ones level from
+        # the low bits, register index from the top bucketbits, subbucket
+        # augmentation from bits 24..24+subbucketsize.  Fields only collide
+        # when trailing_ones >= 24 (probability 2^-24) — statistically
+        # invisible at any cardinality the 2^bucketsize level range covers;
+        # the MC accuracy + golden-CSV parity tests gate this.
+        assert 24 + subbucketsize <= 64 - bucketbits, (bucketbits, subbucketsize)
+        h = splitmix64(vals ^ _K_VAL ^ skey)
+        val = np.minimum(1 + _trailing_ones(h), 1 << bucketsize)
+        idx = (h >> U64(64 - bucketbits)).astype(np.int64)
+        aug = ((h >> U64(24)) & U64((1 << subbucketsize) - 1)).astype(np.int64)
         update = (val << subbucketsize) | aug
         row_of_value = np.repeat(np.arange(rows, dtype=np.int64), sizes)
         np.maximum.at(regs_flat, row_of_value * m + idx, update)
