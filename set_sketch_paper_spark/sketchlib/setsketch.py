@@ -102,8 +102,14 @@ def setsketches_batch(
         x_min = x_min[live]
         k_best = k_best[live]
         # full vector for survivors: x_j = x_min + Exp(a), overwritten at the
-        # uniformly-chosen argmin register with x_min itself
-        h = splitmix64(v[:, None] ^ keys[None, :])
+        # uniformly-chosen argmin register with x_min itself.  Per-register
+        # uniforms come from the linear family h_j = A + key_j * B (same
+        # two-pass construction as sketchlib/minhash.py — statistical
+        # acceptance in test_rng_stats + MC RMSE/golden-CSV parity tests)
+        with np.errstate(over="ignore"):
+            a_mix = splitmix64(v ^ U64(0x5E5C_A11C_0000_0001))
+            b_mix = splitmix64(v ^ U64(0x5E5C_A11C_0000_0002)) | U64(1)
+            h = a_mix[:, None] + b_mix[:, None] * keys[None, :]
         x = x_min[:, None] + (-np.log1p(-u64_to_unit(h)) / a)
         k = np.where(x > 0.0, geometric_level(x, base, q), float(q + 1)).astype(np.int64)
         idx0 = lemire_bounded(splitmix64(v ^ skey_idx), m)
