@@ -464,6 +464,38 @@ def _q_ghll_joint_pairs(spark, sf_dir):
     )
 
 
+def _q_ghll_jaccard_bounds(spark, sf_dir):
+    """Closed-form Jaccard lower/upper bounds from the equal-register
+    fraction (sketch.hpp:701-719) over LSH candidate pairs — the paper's
+    collision-based bound estimators end-to-end.  Rows-only."""
+    from set_sketch_paper_spark.functions.udfs import make_register_bounds_udf
+    from set_sketch_paper_spark.operators import lsh as lsh_ops
+    from set_sketch_paper_spark.operators.signatures import (
+        with_minhash_signature,
+        with_register_sketch,
+    )
+
+    cfg = GHLLConfig(num_registers=256, base=2.0, q=62)
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    signed = with_minhash_signature(docs, DOC_PCFG).select("doc_id", "content", "bands")
+    cands = lsh_ops.candidate_pairs(signed, DOC_PCFG.lsh, id_col="doc_id")
+    regs = with_register_sketch(docs, cfg, DOC_PCFG, out="registers").select(
+        F.col("doc_id").alias("_rid"), "registers"
+    )
+    bounds = make_register_bounds_udf(cfg)
+    joined = (
+        cands.join(regs.withColumnRenamed("_rid", "id1").withColumnRenamed("registers", "r1"), "id1")
+        .join(regs.withColumnRenamed("_rid", "id2").withColumnRenamed("registers", "r2"), "id2")
+    )
+    return joined.select(
+        "id1", "id2", bounds(F.col("r1"), F.col("r2")).alias("b")
+    ).select(
+        "id1", "id2",
+        F.col("b.jaccard_lower").alias("jaccard_lower"),
+        F.col("b.jaccard_upper").alias("jaccard_upper"),
+    )
+
+
 def _q_hmh_doc_cardinality(spark, sf_dir):
     """HyperMinHash shingle-set cardinality per document (sketch.hpp:
     1873-1960 sketch, 1823-1845 'new' estimator), rows-only."""
@@ -685,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_clusters_ann": _q_embedding_near_dup_clusters_ann,
         "minhash_est_cardinality": _q_minhash_est_cardinality,
         "ghll_joint_pairs": _q_ghll_joint_pairs,
+        "ghll_jaccard_bounds": _q_ghll_jaccard_bounds,
         "hmh_doc_cardinality": _q_hmh_doc_cardinality,
         "cardinality_error_mc": _q_cardinality_error_mc,
         "joint_error_mc": _q_joint_error_mc,

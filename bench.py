@@ -99,6 +99,7 @@ def run_default() -> dict:
     spark = _spark(CPUS)
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     rows: dict[str, int] = {}
     # warm the JVM AND the Arrow/pandas-UDF worker pool once so q1 doesn't
     # absorb session startup (forking CPUS python workers costs seconds and
@@ -120,6 +121,10 @@ def run_default() -> dict:
         sec, n = _time_query(spark, qmap[name], SF_DIR)
         timings[name] = round(sec, 3)
         rows[name] = n
+        # second execution: plan codegen + shuffle-service setup amortized —
+        # the steady-state capacity figure (cold stays the headline metric)
+        sec2, _ = _time_query(spark, qmap[name], SF_DIR)
+        warm[name] = round(sec2, 3)
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total",
@@ -129,6 +134,8 @@ def run_default() -> dict:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "rows": rows,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
     }
     spark.stop()
     return result

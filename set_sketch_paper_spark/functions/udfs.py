@@ -299,6 +299,39 @@ def make_minhash_pair_estimator_udf(mh: MinHashConfig, method: str = "original")
     return _udf
 
 
+BOUNDS_STRUCT = StructType(
+    [
+        StructField("jaccard_lower", DoubleType(), False),
+        StructField("jaccard_upper", DoubleType(), False),
+    ]
+)
+
+
+def make_register_bounds_udf(cfg):
+    """(bin1, bin2) -> closed-form Jaccard lower/upper bounds from the
+    equal-register fraction (sketch.hpp:701-719) — the vectorized LSH
+    pre-filter exposed as a pair estimator."""
+    is_ghll = isinstance(cfg, GHLLConfig)
+    a = (1.0 / cfg.num_registers) if is_ghll else cfg.a
+    dtype = np.dtype(cfg.dtype)
+
+    @F.pandas_udf(BOUNDS_STRUCT)
+    def _udf(st1: pd.Series, st2: pd.Series) -> pd.DataFrame:
+        if len(st1) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.float64) for c in ("jaccard_lower", "jaccard_upper")}
+            )
+        est = get_setsketch_estimator(
+            cfg.q, a, cfg.base, cfg.num_registers, is_ghll, False, False
+        )
+        m1 = np.vstack([np.frombuffer(s, dtype=dtype) for s in st1])
+        m2 = np.vstack([np.frombuffer(s, dtype=dtype) for s in st2])
+        lo, up = est.jaccard_bounds_equal_registers(m1, m2)
+        return pd.DataFrame({"jaccard_lower": lo, "jaccard_upper": up})
+
+    return _udf
+
+
 def make_bbit_compaction_udf(bits: int = 8):
     """sig:binary (uint64 registers) -> binary of b-bit compacted registers
     (Li & Koenig b-bit minwise hashing; sketchlib/minhash.py::bbit_signature).
