@@ -374,6 +374,20 @@ def _q_ghll_distinct_users(spark, sf_dir):
     return out.select("event_type", F.round("est_distinct").cast(LongType()).alias("est_users"))
 
 
+def _q_setsketch_distinct_users(spark, sf_dir):
+    """SetSketch1 as the distributed distinct-count aggregate (salted
+    partial + element-wise-max merge + simple estimator).  Rows-only."""
+    from set_sketch_paper_spark.operators.sketch_agg import sketch_distinct
+
+    ev = _tbl(spark, sf_dir, "events").withColumn("user_hash", F.xxhash64("user_id"))
+    out = sketch_distinct(
+        ev, ["event_type"], "user_hash",
+        SetSketchConfig(num_registers=1024, base=2.0, a=20.0, q=62),
+        salt_buckets=8,
+    )
+    return out.select("event_type", F.round("est_distinct").cast(LongType()).alias("est_users"))
+
+
 def _q_setsketch_doc_cardinality(spark, sf_dir):
     from set_sketch_paper_spark.operators.signatures import with_register_sketch
     from set_sketch_paper_spark.functions.udfs import make_register_cardinality_udf
@@ -710,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_minhash": _q_dup_clusters_minhash,
         "ghll_distinct_users": _q_ghll_distinct_users,
         "setsketch_doc_cardinality": _q_setsketch_doc_cardinality,
+        "setsketch_distinct_users": _q_setsketch_distinct_users,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_substring_pairs": _q_winnow_substring_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,

@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..config import GHLLConfig, MinHashConfig
+from ..config import GHLLConfig, MinHashConfig, SetSketchConfig
 from ..functions.udfs import (
     make_merge_minhash_sigs_udf,
     make_merge_registers_udf,
@@ -34,6 +34,7 @@ from ..functions.udfs import (
 from ..sketchlib.ghll import ghll_sketches_batch
 from ..sketchlib.hashing import u64_from_i64, u64_to_i64
 from ..sketchlib.minhash import minhash_batch
+from ..sketchlib.setsketch import setsketches_batch
 
 
 def _grouped_sketch_applier(cfg, keys: list[str], element_col: str):
@@ -54,6 +55,11 @@ def _grouped_sketch_applier(cfg, keys: list[str], element_col: str):
         if is_minhash:
             sigs, _ = minhash_batch(elements, offsets, cfg.num_registers, cfg.seed, cfg.algo)
             state = [u64_to_i64(sigs[0]).tolist()]
+        elif isinstance(cfg, SetSketchConfig):
+            regs, _ = setsketches_batch(
+                elements, offsets, cfg.num_registers, cfg.base, cfg.a, cfg.q, cfg.seed
+            )
+            state = [regs[0].tobytes()]
         else:
             regs, _ = ghll_sketches_batch(
                 elements, offsets, cfg.num_registers, cfg.base, cfg.q, cfg.seed
@@ -77,7 +83,9 @@ def sketch_distinct(
     """Estimated distinct count of ``element_col`` (a 64-bit hash column)
     per key group: (keys..., est_distinct double, sketch).
 
-    cfg: MinHashConfig or GHLLConfig.
+    cfg: MinHashConfig (dense only), GHLLConfig, or SetSketchConfig —
+    register sketches share the element-wise-max merge; dense MinHash
+    merges element-wise min.
     """
     is_minhash = isinstance(cfg, MinHashConfig)
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(element_col)), F.lit(salt_buckets)))

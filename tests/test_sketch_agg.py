@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from set_sketch_paper_spark.config import GHLLConfig, MinHashConfig
+from set_sketch_paper_spark.config import GHLLConfig, MinHashConfig, SetSketchConfig
 from set_sketch_paper_spark.operators.sketch_agg import sketch_distinct
 
 
@@ -34,6 +34,7 @@ EXACT = {"a": 500, "b": 2000, "c": 50}
 @pytest.mark.parametrize("cfg,tol", [
     (GHLLConfig(num_registers=1024, q=62), 0.10),
     (MinHashConfig(num_registers=512, algo="dense"), 0.15),
+    (SetSketchConfig(num_registers=1024, base=2.0, a=20.0, q=62), 0.10),
 ])
 def test_sketch_distinct_accuracy(events, cfg, tol):
     got = {
