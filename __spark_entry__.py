@@ -368,22 +368,21 @@ def _q_ghll_distinct_users(spark, sf_dir):
         "user_hash", F.xxhash64("user_id")
     )
     out = sketch_distinct(
-        ev, ["event_type"], "user_hash", GHLLConfig(num_registers=1024, q=62),
-        salt_buckets=8,
+        ev, ["event_type"], "user_hash", GHLLConfig(num_registers=1024, q=62)
     )
     return out.select("event_type", F.round("est_distinct").cast(LongType()).alias("est_users"))
 
 
 def _q_setsketch_distinct_users(spark, sf_dir):
-    """SetSketch1 as the distributed distinct-count aggregate (salted
-    partial + element-wise-max merge + simple estimator).  Rows-only."""
+    """SetSketch1 as the distributed distinct-count aggregate
+    (partition-bounded partial + element-wise-max merge + simple
+    estimator).  Rows-only."""
     from set_sketch_paper_spark.operators.sketch_agg import sketch_distinct
 
     ev = _tbl(spark, sf_dir, "events").withColumn("user_hash", F.xxhash64("user_id"))
     out = sketch_distinct(
         ev, ["event_type"], "user_hash",
         SetSketchConfig(num_registers=1024, base=2.0, a=20.0, q=62),
-        salt_buckets=8,
     )
     return out.select("event_type", F.round("est_distinct").cast(LongType()).alias("est_users"))
 
