@@ -509,6 +509,44 @@ def _q_ghll_jaccard_bounds(spark, sf_dir):
     )
 
 
+def _q_ghll_joint_refine(spark, sf_dir):
+    """SURVEY §7.3's composed decision path end-to-end: LSH candidates ->
+    GHLL sketches -> vectorized equal-register bounds decide conclusive
+    pairs, ML solve ONLY on the straddling band (sketch.hpp:701-719 then
+    484-522).  ``passed`` is the >= threshold decision; ``solved`` marks the
+    pairs that actually paid for a solver call.  Rows-only."""
+    from set_sketch_paper_spark.functions.udfs import make_register_pair_estimator_udf
+    from set_sketch_paper_spark.operators import lsh as lsh_ops
+    from set_sketch_paper_spark.operators.signatures import (
+        with_minhash_signature,
+        with_register_sketch,
+    )
+
+    cfg = GHLLConfig(num_registers=256, base=2.0, q=62)
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    signed = with_minhash_signature(docs, DOC_PCFG).select("doc_id", "content", "bands")
+    cands = lsh_ops.candidate_pairs(signed, DOC_PCFG.lsh, id_col="doc_id")
+    regs = with_register_sketch(docs, cfg, DOC_PCFG, out="registers").select(
+        F.col("doc_id").alias("_rid"), "registers"
+    )
+    est_udf = make_register_pair_estimator_udf(cfg, method="new", threshold=0.5)
+    joined = (
+        cands.join(regs.withColumnRenamed("_rid", "id1").withColumnRenamed("registers", "r1"), "id1")
+        .join(regs.withColumnRenamed("_rid", "id2").withColumnRenamed("registers", "r2"), "id2")
+    )
+    return joined.select(
+        "id1", "id2", est_udf(F.col("r1"), F.col("r2")).alias("e")
+    ).select(
+        "id1",
+        "id2",
+        F.col("e.est_jaccard").alias("est_jaccard"),
+        F.col("e.jaccard_lower").alias("jaccard_lower"),
+        F.col("e.jaccard_upper").alias("jaccard_upper"),
+        F.col("e.passed").alias("passed"),
+        F.col("e.solved").alias("solved"),
+    )
+
+
 def _q_hmh_doc_cardinality(spark, sf_dir):
     """HyperMinHash shingle-set cardinality per document (sketch.hpp:
     1873-1960 sketch, 1823-1845 'new' estimator), rows-only."""
@@ -732,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_est_cardinality": _q_minhash_est_cardinality,
         "ghll_joint_pairs": _q_ghll_joint_pairs,
         "ghll_jaccard_bounds": _q_ghll_jaccard_bounds,
+        "ghll_joint_refine": _q_ghll_joint_refine,
         "hmh_doc_cardinality": _q_hmh_doc_cardinality,
         "cardinality_error_mc": _q_cardinality_error_mc,
         "joint_error_mc": _q_joint_error_mc,

@@ -383,6 +383,68 @@ def run_kernels(n: int = 2_000_000, m: int = 4096, reps: int = 3) -> dict:
     }
 
 
+def run_joint(n_pairs: int = 100_000, m: int = 256, reps: int = 3) -> dict:
+    """Joint-ML estimation throughput: batched golden-section solver vs the
+    scalar per-pair Brent loop, plus the SURVEY §7.3 bounds-prefilter's
+    solver-call reduction on an LSH-candidate-like pair population (most
+    candidates conclusively above/below the threshold; only the straddling
+    band pays for a solve)."""
+    import numpy as np
+
+    from set_sketch_paper_spark.sketchlib.estimators import SetSketchEstimator
+    from set_sketch_paper_spark.sketchlib.ghll import ghll_sketches_batch
+
+    est = SetSketchEstimator(62, 1.0 / m, 2.0, m, True, False, False)
+    rng = np.random.RandomState(11)
+    nl = rng.randint(0, m // 2, n_pairs)
+    ng = rng.randint(0, m // 2, n_pairs)
+    c1 = rng.uniform(50, 5000, n_pairs)
+    c2 = rng.uniform(50, 5000, n_pairs)
+
+    def batch_job():
+        est._joint_new_batch(nl, ng, c1, c2)
+
+    batch_job()
+    batch_s = min(_timed(batch_job) for _ in range(reps))
+    n_scalar = 2_000
+    scalar_s = min(
+        _timed(
+            lambda: [
+                est._joint_new_one(int(nl[i]), int(ng[i]), c1[i], c2[i])
+                for i in range(n_scalar)
+            ]
+        )
+        for _ in range(reps)
+    )
+    # prefilter band fraction on sketched pairs whose equal-register fraction
+    # is spread across [0,1] (per-pair register mixing), so the population
+    # spans the threshold like real LSH candidates do
+    n_sk, per = 4_000, 400
+    vals = rng.randint(0, 2**63, size=n_sk * per, dtype=np.int64).view(np.uint64)
+    regs, _ = ghll_sketches_batch(vals, np.arange(n_sk + 1) * per, m, 2.0, 62, 3)
+    half = n_sk // 2
+    s1, other = regs[:half], regs[half:]
+    p = rng.uniform(0.0, 1.0, half)
+    s2 = np.where(rng.random_sample((half, m)) < p[:, None], s1, other)
+    _, _, solved = est.joint_new_prefiltered(s1, s2, 0.7)
+    batch_rate = n_pairs / batch_s
+    scalar_rate = n_scalar / scalar_s
+    return {
+        "metric": "joint_ml_pairs_per_sec_batched",
+        "value": round(batch_rate),
+        "unit": "pairs/sec",
+        "queries": {
+            "batch_pairs_per_sec": round(batch_rate),
+            "scalar_pairs_per_sec": round(scalar_rate),
+            "batch_speedup": round(batch_rate / scalar_rate, 1),
+            "prefilter_solved_frac_t0.7": round(float(solved.mean()), 4),
+            "prefilter_solver_calls_saved": round(1.0 - float(solved.mean()), 4),
+        },
+        "sf": "kernel",
+        "n_pairs": n_pairs,
+    }
+
+
 def _timed(job) -> float:
     t0 = time.perf_counter()
     job()
@@ -395,6 +457,8 @@ def main() -> None:
     ap.add_argument("--scaling-worker", nargs=3, metavar=("CPUS", "CORPUS", "NFILES"),
                     help="internal: one scaling level in this process")
     ap.add_argument("--kernels", action="store_true", help="numpy kernel ns/elem microbench")
+    ap.add_argument("--joint", action="store_true",
+                    help="joint-ML solver throughput + bounds-prefilter saving")
     # local[2] vs local[8]: N and 4N cores, both below the shared host's
     # DRAM-bandwidth ceiling (at 16+ threads the memory-streaming numpy
     # kernels saturate bandwidth and core-seconds inflate — a single-box
@@ -408,6 +472,9 @@ def main() -> None:
         return
     if args.kernels:
         print(json.dumps(run_kernels()))
+        return
+    if args.joint:
+        print(json.dumps(run_joint()))
         return
     if args.scaling:
         try:

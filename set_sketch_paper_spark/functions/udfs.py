@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -379,12 +380,34 @@ def make_hyperminhash_pair_estimator_udf(cfg, method: str = "original"):
     return _udf
 
 
-def make_register_pair_estimator_udf(cfg, method: str = "new", joint_corr: bool = True):
+PAIR_DECISION_STRUCT = StructType(
+    [
+        StructField("est_jaccard", DoubleType(), False),
+        StructField("est_intersection", DoubleType(), False),
+        StructField("est_union", DoubleType(), False),
+        StructField("est_cosine", DoubleType(), False),
+        StructField("jaccard_lower", DoubleType(), False),
+        StructField("jaccard_upper", DoubleType(), False),
+        StructField("passed", BooleanType(), False),
+        StructField("solved", BooleanType(), False),
+    ]
+)
+
+
+def make_register_pair_estimator_udf(
+    cfg, method: str = "new", joint_corr: bool = True, threshold: float | None = None
+):
     """(bin1, bin2) -> struct of joint estimates for GHLL/SetSketch states.
 
-    method 'new' runs the per-pair ML solve (sketch.hpp:484-522) — scalar per
-    pair, so the pipeline applies it only after the vectorized equal-register
-    pre-filter (SURVEY.md §7.3).  method 'incl_excl' is fully vectorized.
+    method 'new' runs the pair ML solve (sketch.hpp:484-522), batched across
+    the Arrow batch via golden_min_batch.  method 'incl_excl' is closed-form.
+
+    ``threshold`` switches on SURVEY §7.3's composed decision path
+    (joint_new_prefiltered): the vectorized equal-register bounds
+    (sketch.hpp:701-719) decide every pair conclusively above/below the
+    threshold and the ML solver runs ONLY on the straddling band — the
+    output gains (jaccard_lower, jaccard_upper, passed, solved) and
+    downstream filters should use ``passed``, not est_jaccard >= t.
 
     ``joint_corr`` enables the mu() range-corrected likelihood
     (sketch.hpp:578-633) for pairs with registers at the 0 lower bound —
@@ -395,22 +418,35 @@ def make_register_pair_estimator_udf(cfg, method: str = "new", joint_corr: bool 
     is_ghll = isinstance(cfg, GHLLConfig)
     a = (1.0 / cfg.num_registers) if is_ghll else cfg.a
     dtype = np.dtype(cfg.dtype)
+    if threshold is not None and method != "new":
+        raise ValueError("threshold pre-filtering composes with method='new' only")
 
-    @F.pandas_udf(PAIR_ESTIMATE_STRUCT)
+    out_struct = PAIR_ESTIMATE_STRUCT if threshold is None else PAIR_DECISION_STRUCT
+
+    @F.pandas_udf(out_struct)
     def _udf(st1: pd.Series, st2: pd.Series) -> pd.DataFrame:
         est = get_setsketch_estimator(
             cfg.q, a, cfg.base, cfg.num_registers, is_ghll, joint_corr, False
         )
         m1 = np.vstack([np.frombuffer(s, dtype=dtype) for s in st1])
         m2 = np.vstack([np.frombuffer(s, dtype=dtype) for s in st2])
-        r = est.joint_new(m1, m2) if method == "new" else est.joint_incl_excl(m1, m2)
-        return pd.DataFrame(
-            {
-                "est_jaccard": r["jaccard"],
-                "est_intersection": r["intersection"],
-                "est_union": r["union"],
-                "est_cosine": r["cosine"],
-            }
-        )
+        if threshold is not None:
+            r, passed, solved = est.joint_new_prefiltered(m1, m2, threshold)
+        else:
+            r = est.joint_new(m1, m2) if method == "new" else est.joint_incl_excl(m1, m2)
+        out = {
+            "est_jaccard": r["jaccard"],
+            "est_intersection": r["intersection"],
+            "est_union": r["union"],
+            "est_cosine": r["cosine"],
+        }
+        if threshold is not None:
+            out.update(
+                jaccard_lower=r["jaccard_lower"],
+                jaccard_upper=r["jaccard_upper"],
+                passed=passed,
+                solved=solved,
+            )
+        return pd.DataFrame(out)
 
     return _udf

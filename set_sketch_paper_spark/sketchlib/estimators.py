@@ -27,6 +27,28 @@ from .minhash import minhash_cardinality
 from .solvers import brentq, minimize_bounded
 
 
+def golden_min_batch(f, lo: np.ndarray, hi: np.ndarray, iters: int = 70) -> np.ndarray:
+    """Vectorized golden-section minimizer: one independent bounded scalar
+    minimization per row, all rows advanced in lockstep (the batched
+    replacement for the per-pair boost brent_find_minima loop,
+    sketch.hpp:499-519).  ``f`` maps a vector of positions (one per row) to a
+    vector of objective values; +inf values (domain boundaries the reference
+    maps NaN to) are handled by the comparisons naturally.  70 iterations
+    shrink the interval by 0.618^70 ~ 2e-15 of its width — beyond the
+    estimators' statistical error, same accuracy class as the scalar path."""
+    g = 0.6180339887498949
+    a = np.asarray(lo, dtype=np.float64).copy()
+    b = np.asarray(hi, dtype=np.float64).copy()
+    for _ in range(iters):
+        d = g * (b - a)
+        x1 = b - d
+        x2 = a + d
+        keep_left = f(x1) <= f(x2)
+        b = np.where(keep_left, x2, b)
+        a = np.where(keep_left, a, x1)
+    return 0.5 * (a + b)
+
+
 def x_div_expm1(x):
     """x / (e^x - 1), continuous at 0 (sketch.hpp:52-55)."""
     x = np.asarray(x, dtype=np.float64)
@@ -172,13 +194,80 @@ class SetSketchEstimator:
             return self.factor / sums
 
     def cardinality_ml(self, states: np.ndarray) -> np.ndarray:
-        """estimateCardinalityML (sketch.hpp:341-381): per-row root solve over
-        the register-value histogram (histogram compaction keeps the solve
-        O(q) instead of O(m))."""
+        """estimateCardinalityML (sketch.hpp:341-381), BATCHED: all rows'
+        root solves advance in lockstep over the (rows, q+2) register-value
+        histogram — bracket doubling then bisection, both vectorized (the
+        interval halves 90 times, far past the scalar path's 1e-9 rtol; the
+        per-row scalar twin _cardinality_ml_one is kept as the equivalence
+        oracle in tests)."""
         st = np.atleast_2d(np.asarray(states)).astype(np.int64)
-        out = np.empty(st.shape[0], dtype=np.float64)
-        for i in range(st.shape[0]):
-            out[i] = self._cardinality_ml_one(st[i])
+        rows = st.shape[0]
+        L = self.q + 2
+        hist = np.bincount(
+            (st + np.arange(rows)[:, None] * L).ravel(), minlength=rows * L
+        ).reshape(rows, L).astype(np.float64)
+        corr = self.card_range_correction
+        bip = self.base_inverse_powers
+        m, a, bm1 = float(self.m), self.a, self.base - 1.0
+        if corr:
+            count0 = hist[:, 0]
+            z = (hist[:, : self.q + 1] @ bip[: self.q + 1]) * a
+            w_reg = hist[:, 1 : self.q + 1]
+            bip_reg = bip[1 : self.q + 1]
+            w_max = hist[:, self.q + 1]
+        else:
+            count0 = np.zeros(rows)
+            z = (hist @ bip) * a
+            w_reg = hist
+            bip_reg = bip
+            w_max = None
+
+        out = np.empty(rows, dtype=np.float64)
+        out.fill(np.nan)
+        if corr:
+            out[hist[:, 0] == m] = 0.0
+            out[hist[:, self.q + 1] == m] = math.inf
+        undecided = np.isnan(out)
+        out[undecided & (z <= 0.0)] = math.inf
+        with np.errstate(divide="ignore", invalid="ignore"):
+            upper_all = (m - count0) / z
+        out[undecided & (z > 0.0) & (upper_all <= 0.0)] = 0.0
+        solve = np.isnan(out)
+        if not np.any(solve):
+            return out
+
+        wr, zs = w_reg[solve], z[solve]
+        wm = w_max[solve] if corr else None
+
+        def f(n: np.ndarray) -> np.ndarray:
+            arg = n[:, None] * (a * bm1) * bip_reg[None, :]
+            y = np.einsum("ij,ij->i", wr, x_div_expm1(arg))
+            if corr:
+                y = y + wm * x_div_expm1(n * (a * bip[self.q]))
+            return y - n * zs
+
+        upper = upper_all[solve].copy()
+        # f(0+) > 0 always; widen the bracket if rounding left f(upper) > 0
+        # (same 8-doubling policy as the scalar path)
+        stuck = None
+        for _ in range(8):
+            widen = f(upper) > 0.0
+            if not np.any(widen):
+                break
+            upper = np.where(widen, upper * 2.0, upper)
+        else:
+            stuck = f(upper) > 0.0
+        lo_b = np.zeros_like(upper)
+        hi_b = upper.copy()
+        for _ in range(90):
+            mid = 0.5 * (lo_b + hi_b)
+            pos = f(mid) > 0.0
+            lo_b = np.where(pos, mid, lo_b)
+            hi_b = np.where(pos, hi_b, mid)
+        root = 0.5 * (lo_b + hi_b)
+        if stuck is not None:
+            root = np.where(stuck, upper, root)
+        out[solve] = root
         return out
 
     def _cardinality_ml_one(self, state: np.ndarray) -> float:
@@ -379,6 +468,51 @@ class SetSketchEstimator:
             return 0.0
         return minimize_bounded(neg_loglik, 0.0, dmax)
 
+    def _joint_new_batch(self, n_less, n_greater, c1, c2) -> np.ndarray:
+        """Batched estimateJointNew (sketch.hpp:484-522): the per-pair
+        bounded likelihood minimization run for ALL pairs in lockstep via
+        golden_min_batch — numpy throughput instead of one Python Brent per
+        pair (the scalar twin _joint_new_one stays as the equivalence
+        oracle in tests)."""
+        nl = np.asarray(n_less, dtype=np.float64)
+        ng = np.asarray(n_greater, dtype=np.float64)
+        c1 = np.asarray(c1, dtype=np.float64)
+        c2 = np.asarray(c2, dtype=np.float64)
+        neq = self.m - nl - ng
+        out = np.zeros(nl.shape[0], dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dmax = np.where(c1 >= c2, c2 / np.where(c1 > 0, c1, np.inf),
+                            c1 / np.where(c2 > 0, c2, np.inf))
+        solve = dmax > 0.0
+        if not np.any(solve):
+            return out
+        nl_s, ng_s, neq_s = nl[solve], ng[solve], neq[solve]
+        c1_s, c2_s = c1[solve], c2[solve]
+        z = (1.0 - self.base_inverse) / (c1_s + c2_s)
+        ilb = 1.0 / self.log_base
+        need1 = (neq_s > 0) | (ng_s > 0)
+        need2 = (neq_s > 0) | (nl_s > 0)
+
+        def neg_loglik(j: np.ndarray) -> np.ndarray:
+            # the reference maps NaN (domain-boundary rounding) to +inf so
+            # the minimizer can proceed (sketch.hpp:510-513); numpy produces
+            # the NaNs silently — propagate them and map at the end.  args at
+            # or below -1 are out of domain exactly like the scalar path.
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                arg1 = (c2_s * j - c1_s) * z
+                arg2 = (c1_s * j - c2_s) * z
+                l1 = np.where(arg1 <= -1.0, np.nan, ilb * np.log1p(arg1))
+                l2 = np.where(arg2 <= -1.0, np.nan, ilb * np.log1p(arg2))
+                l1 = np.where(need1, l1, 0.0)
+                l2 = np.where(need2, l2, 0.0)
+                ret = np.where(neq_s > 0, neq_s * np.log1p(l1 + l2), 0.0)
+                ret = ret + np.where(ng_s > 0, ng_s * np.log(-l1), 0.0)
+                ret = ret + np.where(nl_s > 0, nl_s * np.log(-l2), 0.0)
+            return np.where(np.isnan(ret), np.inf, -ret)
+
+        out[solve] = golden_min_batch(neg_loglik, np.zeros(nl_s.shape[0]), dmax[solve])
+        return out
+
     def joint_new(self, s1: np.ndarray, s2: np.ndarray, card1=None, card2=None):
         """estimateJointNewWithKnownSetCardinalities (sketch.hpp:642-678).
 
@@ -386,34 +520,68 @@ class SetSketchEstimator:
         both bounds -> (a) range-corrected ML via mu() when only the LOWER
         bound is hit and joint_range_correction is on (sketch.hpp:670-671),
         else (b) inclusion-exclusion when joint_fallback is on, else (c) the
-        plain ML solve (the reference GHLL/SetSketch default config)."""
+        plain ML solve — batched across all plain rows."""
         a1 = np.atleast_2d(np.asarray(s1))
         a2 = np.atleast_2d(np.asarray(s2))
         c1 = self.cardinality_simple(a1) if card1 is None else np.atleast_1d(np.asarray(card1, dtype=np.float64))
         c2 = self.cardinality_simple(a2) if card2 is None else np.atleast_1d(np.asarray(card2, dtype=np.float64))
         less, greater, both_min, both_max, _ = self.compare_registers(a1, a2)
-        jac = np.empty(a1.shape[0], dtype=np.float64)
-        fallback_rows = []
-        for i in range(a1.shape[0]):
-            if both_min[i] > 0 or both_max[i] > 0:
-                if self.joint_range_correction and both_max[i] == 0:
-                    jac[i] = self._joint_new_corrected_one(
-                        int(less[i]), int(greater[i]), int(both_min[i]),
-                        float(c1[i]), float(c2[i]),
-                    )
-                    continue
-                if self.joint_fallback:
-                    fallback_rows.append(i)
-                    jac[i] = np.nan
-                    continue
-            jac[i] = self._joint_new_one(int(less[i]), int(greater[i]), float(c1[i]), float(c2[i]))
+        rows = a1.shape[0]
+        extreme = (both_min > 0) | (both_max > 0)
+        corrected = extreme & (both_max == 0) if self.joint_range_correction else np.zeros(rows, dtype=bool)
+        fallback = extreme & ~corrected if self.joint_fallback else np.zeros(rows, dtype=bool)
+        plain = ~corrected & ~fallback
+
+        jac = np.zeros(rows, dtype=np.float64)
+        if np.any(plain):
+            jac[plain] = self._joint_new_batch(
+                less[plain], greater[plain], c1[plain], c2[plain]
+            )
+        for i in np.nonzero(corrected)[0]:
+            # the mu()-series likelihood is a variable-length scalar sum —
+            # kept per-row; it only triggers for small-set (register==0) pairs
+            jac[i] = self._joint_new_corrected_one(
+                int(less[i]), int(greater[i]), int(both_min[i]),
+                float(c1[i]), float(c2[i]),
+            )
         result = joint_from_jaccard(c1, c2, jac)
-        if fallback_rows:
-            idx = np.asarray(fallback_rows)
+        if np.any(fallback):
+            idx = np.nonzero(fallback)[0]
             fb = self.joint_incl_excl(a1[idx], a2[idx], c1[idx], c2[idx])
             for k in result:
                 result[k][idx] = fb[k]
         return result
+
+    def joint_new_prefiltered(
+        self, s1: np.ndarray, s2: np.ndarray, threshold: float,
+        card1=None, card2=None,
+    ):
+        """SURVEY §7.3's composed decision path: the vectorized closed-form
+        equal-register bounds (sketch.hpp:701-719) decide every pair whose
+        [lower, upper] interval does NOT straddle ``threshold``; the ML solve
+        (joint_new) runs only on the straddling band.
+
+        Returns (result, passed, solved): ``passed`` is the authoritative
+        >= threshold decision (lower >= t accepts, upper < t rejects,
+        band rows decided by their ML estimate); ``solved`` marks the band.
+        Non-band rows report the inclusion-exclusion closed form in
+        ``result`` (sketch.hpp:391-410) — fully vectorized, no solver."""
+        a1 = np.atleast_2d(np.asarray(s1))
+        a2 = np.atleast_2d(np.asarray(s2))
+        c1 = self.cardinality_simple(a1) if card1 is None else np.atleast_1d(np.asarray(card1, dtype=np.float64))
+        c2 = self.cardinality_simple(a2) if card2 is None else np.atleast_1d(np.asarray(card2, dtype=np.float64))
+        lower, upper = self.jaccard_bounds_equal_registers(a1, a2)
+        band = (lower < threshold) & (upper >= threshold)
+        result = self.joint_incl_excl(a1, a2, c1, c2)
+        if np.any(band):
+            idx = np.nonzero(band)[0]
+            ml = self.joint_new(a1[idx], a2[idx], c1[idx], c2[idx])
+            for k in result:
+                result[k][idx] = ml[k]
+        passed = (lower >= threshold) | (band & (result["jaccard"] >= threshold))
+        result["jaccard_lower"] = lower
+        result["jaccard_upper"] = upper
+        return result, passed, band
 
     def jaccard_bounds_equal_registers(self, s1: np.ndarray, s2: np.ndarray):
         """estimateJaccardSimilarityUsingEqualRegisters (sketch.hpp:701-719):
