@@ -710,20 +710,22 @@ def _q_multimodal_features(spark, sf_dir):
         synthetic_assets,
     )
 
-    assets = synthetic_assets(spark, 200, seed=7)
-    return extract_image_features(assets, decode_backend="fake")
+    assets = synthetic_assets(spark, 200, seed=7, codec="encoded")
+    return extract_image_features(assets, decode_backend="auto")
 
 
 def _q_multimodal_resize(spark, sf_dir):
-    """Decode -> nearest-neighbor resample -> raw-buffer re-encode (real
-    numpy kernel; only the image-codec decode is backend-stubbed).
-    Rows-only."""
+    """Genuinely-encoded PGM/PPM/BMP payloads -> pure-numpy decode ->
+    nearest-neighbor resample -> raw-buffer re-encode.  Rows-only."""
     from set_sketch_paper_spark.operators.multimodal import (
         resize_images,
         synthetic_assets,
     )
 
-    return resize_images(synthetic_assets(spark, 200, seed=7), 8, 8)
+    return resize_images(
+        synthetic_assets(spark, 200, seed=7, codec="encoded"), 8, 8,
+        decode_backend="auto",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
