@@ -1,0 +1,152 @@
+"""Cross-estimator consistency gates at the QUERY level (VERDICT r2 #5).
+
+The sketch queries are `no_oracle` in the driver's DuckDB gate (register
+state is not SQL-expressible), so each is statistically verified in
+isolation elsewhere.  Here they are tied to their ORACLE-GREEN exact twins
+on the same sf0.01 corpus: every sketch estimate must agree with the exact
+quantity the twin computes — bounds bracket exact jaccards, joint estimates
+track them, sketch cardinalities track exact distinct counts, and the
+ANN-routed pair set embeds into the exact pair set with bit-equal scores.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def q():
+    return entry.queries()
+
+
+def _rows(q, spark, name, cols):
+    df = q[name](spark, SF_DIR)
+    return [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+
+
+@pytest.fixture(scope="module")
+def exact_jaccard(q, spark):
+    """(id1, id2) -> exact n-gram jaccard from the oracle-green twin."""
+    return {
+        (i1, i2): jq / 1e6
+        for i1, i2, jq in _rows(q, spark, "ngram_jaccard_pairs", ["id1", "id2", "jaccard_q"])
+    }
+
+
+def test_ghll_bounds_bracket_exact_jaccard(q, spark, exact_jaccard):
+    """ghll_jaccard_bounds (sketch.hpp:701-719) vs exact ngram_jaccard_pairs:
+    on every shared pair the closed-form [lower, upper] interval must cover
+    the exact jaccard up to the bounds' own statistical slack (m=256)."""
+    bounds = {
+        (i1, i2): (lo, up)
+        for i1, i2, lo, up in _rows(
+            q, spark, "ghll_jaccard_bounds", ["id1", "id2", "jaccard_lower", "jaccard_upper"]
+        )
+    }
+    shared = set(bounds) & set(exact_jaccard)
+    assert len(shared) >= 10, "corpora out of sync: too few shared pairs"
+    slack = 5.0 / np.sqrt(256)  # ~5 sigma of the equal-register fraction
+    ok = sum(
+        1
+        for p in shared
+        if bounds[p][0] - slack <= exact_jaccard[p] <= bounds[p][1] + slack
+    )
+    assert ok / len(shared) >= 0.95, (ok, len(shared))
+
+
+def test_ghll_joint_tracks_exact_jaccard(q, spark, exact_jaccard):
+    """ghll_joint_pairs' ML estimate vs the exact jaccard per shared pair."""
+    est = {
+        (i1, i2): j
+        for i1, i2, j in _rows(q, spark, "ghll_joint_pairs", ["id1", "id2", "est_jaccard"])
+    }
+    shared = set(est) & set(exact_jaccard)
+    assert len(shared) >= 10
+    errs = np.array([est[p] - exact_jaccard[p] for p in shared])
+    assert np.mean(np.abs(errs)) < 0.10, np.mean(np.abs(errs))
+    assert np.max(np.abs(errs)) < 0.30, np.max(np.abs(errs))
+
+
+def test_ghll_refine_decisions_track_exact(q, spark, exact_jaccard):
+    """ghll_joint_refine (bounds prefilter + ML band) decides >= 0.5; the
+    decision must agree with the exact jaccard for every shared pair whose
+    exact value sits clear of the threshold (|J - 0.5| > 0.1 — inside that
+    band the sketch's statistical error legitimately flips decisions)."""
+    dec = {
+        (i1, i2): p
+        for i1, i2, p in _rows(q, spark, "ghll_joint_refine", ["id1", "id2", "passed"])
+    }
+    shared = [p for p in set(dec) & set(exact_jaccard) if abs(exact_jaccard[p] - 0.5) > 0.1]
+    assert len(shared) >= 10
+    agree = sum(1 for p in shared if dec[p] == (exact_jaccard[p] >= 0.5))
+    assert agree == len(shared), (agree, len(shared))
+
+
+def test_minhash_cardinality_tracks_exact_counts(q, spark):
+    """minhash_est_cardinality carries BOTH the exact per-doc shingle count
+    (n_shingles) and the m=128 harmonic estimate — rel RMSE must sit inside
+    the 1/sqrt(m-2) theory band (sketch.hpp:1383-1389)."""
+    rows = _rows(q, spark, "minhash_est_cardinality", ["n_shingles", "est_shingles"])
+    rel = np.array([(e - n) / n for n, e in rows if n >= 30])
+    assert len(rel) >= 100
+    th = 1.0 / np.sqrt(128 - 2)
+    rmse = float(np.sqrt(np.mean(rel**2)))
+    assert rmse < 2.0 * th, (rmse, th)
+    assert abs(float(np.mean(rel))) < 4.0 * th / np.sqrt(len(rel)) + 0.02
+
+
+@pytest.mark.parametrize("qname,m", [
+    ("ghll_distinct_users", 1024),
+    ("setsketch_distinct_users", 1024),
+])
+def test_sketch_distinct_users_track_exact(q, spark, qname, m):
+    """The distributed sketch aggregates vs the oracle-green exact
+    countDistinct twin, per event_type group."""
+    exact = dict(_rows(q, spark, "distinct_users_exact", ["event_type", "n_users"]))
+    est = dict(_rows(q, spark, qname, ["event_type", "est_users"]))
+    assert set(est) == set(exact)
+    th = np.sqrt((3.0 * np.log(2.0) - 1.0) / m)  # b=2 theory rel-RMSE
+    for k, n in exact.items():
+        rel = abs(est[k] - n) / n
+        assert rel < 5.0 * th, (qname, k, est[k], n, rel)
+
+
+def test_register_cardinalities_track_exact_shingle_counts(q, spark):
+    """setsketch_doc_cardinality + hmh_doc_cardinality (m=256 / p=10) vs the
+    exact per-doc shingle counts carried by minhash_est_cardinality — all
+    three queries shingle with the identical DOC_PCFG config, so the sketch
+    estimates target exactly those counts."""
+    exact = {}
+    for r in q["minhash_est_cardinality"](spark, SF_DIR).collect():
+        exact[r["doc_id"]] = r["n_shingles"]
+    for qname, m in (("setsketch_doc_cardinality", 256), ("hmh_doc_cardinality", 1024)):
+        est = dict(_rows(q, spark, qname, ["doc_id", "est_shingles"]))
+        assert set(est) == set(exact)
+        rel = np.array(
+            [(est[d] - n) / n for d, n in exact.items() if n >= 30]
+        )
+        th = np.sqrt((3.0 * np.log(2.0) - 1.0) / m)
+        rmse = float(np.sqrt(np.mean(rel**2)))
+        assert rmse < 2.5 * th, (qname, rmse, th)
+
+
+def test_ann_pairs_subset_of_exact_with_bitequal_scores(q, spark):
+    """embedding_near_dup_pairs_ann ⊆ embedding_near_dup_pairs with
+    bit-equal cos_q (identical _cos_q expression), recall >= 0.95."""
+    exact = {
+        (i1, i2): c
+        for i1, i2, c in _rows(q, spark, "embedding_near_dup_pairs", ["id1", "id2", "cos_q"])
+    }
+    ann = {
+        (i1, i2): c
+        for i1, i2, c in _rows(q, spark, "embedding_near_dup_pairs_ann", ["id1", "id2", "cos_q"])
+    }
+    assert set(ann) <= set(exact)
+    for p, c in ann.items():
+        assert c == exact[p], p
+    assert len(ann) / len(exact) >= 0.95
