@@ -85,6 +85,10 @@ def setsketches_batch(
 
     n = len(vals)
     chunk = max(1, _CHUNK_BUDGET // max(1, m))
+    # scratch reused across chunks: the (survivors, m) stages write into
+    # row-sliced views instead of allocating ~chunk*m*8 bytes per chunk
+    hbuf = np.empty((min(chunk, n), m), dtype=U64)
+    xbuf = np.empty((min(chunk, n), m), dtype=np.float64)
     for c0 in range(0, n, chunk):
         c1 = min(n, c0 + chunk)
         v = vals[c0:c1]
@@ -105,21 +109,37 @@ def setsketches_batch(
         # uniformly-chosen argmin register with x_min itself.  Per-register
         # uniforms come from the linear family h_j = A + key_j * B (same
         # two-pass construction as sketchlib/minhash.py — statistical
-        # acceptance in test_rng_stats + MC RMSE/golden-CSV parity tests)
+        # acceptance in test_rng_stats + MC RMSE/golden-CSV parity tests).
+        # All (survivors, m) stages run in place; the level map's log runs
+        # only on the per-row x-minimum (levels are monotone non-increasing
+        # in x, so max-of-levels == level-of-min — bit-identical registers,
+        # asserted against the direct form in test_sketchlib), which halves
+        # the transcendental work on the dense grid.
+        h = hbuf[: len(v)]
+        x = xbuf[: len(v)]
         with np.errstate(over="ignore"):
             a_mix = splitmix64(v ^ U64(0x5E5C_A11C_0000_0001))
             b_mix = splitmix64(v ^ U64(0x5E5C_A11C_0000_0002)) | U64(1)
-            h = a_mix[:, None] + b_mix[:, None] * keys[None, :]
-        x = x_min[:, None] + (-np.log1p(-u64_to_unit(h)) / a)
-        k = np.where(x > 0.0, geometric_level(x, base, q), float(q + 1)).astype(np.int64)
+            np.multiply(b_mix[:, None], keys[None, :], out=h)
+            h += a_mix[:, None]
+        h >>= U64(11)
+        np.multiply(h, 2.0**-53, out=x)  # u, the 53-bit u64_to_unit construction
+        np.negative(x, out=x)
+        np.log1p(x, out=x)     # log1p(-u)
+        np.negative(x, out=x)
+        x /= a                 # Exp(a) increment
+        x += x_min[:, None]
         idx0 = lemire_bounded(splitmix64(v ^ skey_idx), m)
-        k[np.arange(len(v)), idx0] = k_best
+        x[np.arange(len(v)), idx0] = x_min
         # survivors stay row-sorted under boolean masking, so the per-row
-        # max over their k-vectors is one reduceat (buffered, ~50x faster
-        # than an unbuffered maximum.at scatter)
+        # min over their x-vectors is one reduceat (buffered, ~50x faster
+        # than an unbuffered scatter)
         touched, row_starts = np.unique(rws, return_index=True)
-        kmax = np.maximum.reduceat(k, row_starts, axis=0)
-        regs[touched] = np.maximum(regs[touched], kmax)
+        xmin_rows = np.minimum.reduceat(x, row_starts, axis=0)
+        k = np.where(
+            xmin_rows > 0.0, geometric_level(xmin_rows, base, q), float(q + 1)
+        ).astype(np.int64)
+        regs[touched] = np.maximum(regs[touched], k)
         r_min[touched] = regs[touched].min(axis=1)
     return regs.astype(dtype), sizes
 

@@ -328,3 +328,43 @@ def test_winnow_udf_matches_naive(spark):
         else:
             mins = np.unique(sliding_window_view(s, window).min(axis=1))
         assert got[i] == sorted(u64_to_i64(np.unique(mins)).tolist()), i
+
+
+def test_setsketch_matches_direct_naive_form(rng):
+    """The chunked / bound-skipping / min-reduced SS1 kernel must be
+    bit-identical to the naive per-element construction of the same law:
+    x_j = x_min + Exp(a) from the linear hash family, x_{idx0} = x_min,
+    level = map(x), register = max over elements."""
+    import math
+
+    from set_sketch_paper_spark.sketchlib.hashing import (
+        derive_keys,
+        lemire_bounded,
+        splitmix64,
+        u64_to_unit,
+    )
+    from set_sketch_paper_spark.sketchlib.ghll import geometric_level
+    from set_sketch_paper_spark.sketchlib.setsketch import setsketches_batch
+
+    m, base, a, q, seed = 64, 2.0, 20.0, 6, 77
+    data = random_u64(rng, 500)
+    got, _ = setsketches_batch(data, np.array([0, len(data)]), m, base, a, q, seed)
+
+    keys = derive_keys(seed ^ 0x5E5C, m)
+    skey_min = splitmix64(np.array([(seed ^ 0x51E5C) & 0xFFFFFFFFFFFFFFFF], np.uint64))[0]
+    skey_idx = splitmix64(np.array([(seed ^ 0x1D35C) & 0xFFFFFFFFFFFFFFFF], np.uint64))[0]
+    regs = np.zeros(m, dtype=np.int64)
+    for v in data:
+        v = np.uint64(v)
+        u0 = u64_to_unit(splitmix64(np.array([v ^ skey_min])))[0]
+        x_min = -math.log1p(-u0) / (a * m)
+        with np.errstate(over="ignore"):
+            a_mix = splitmix64(np.array([v ^ np.uint64(0x5E5C_A11C_0000_0001)]))[0]
+            b_mix = splitmix64(np.array([v ^ np.uint64(0x5E5C_A11C_0000_0002)]))[0] | np.uint64(1)
+            h = a_mix + b_mix * keys
+        x = x_min + (-np.log1p(-u64_to_unit(h)) / a)
+        idx0 = lemire_bounded(splitmix64(np.array([v ^ skey_idx])), m)[0]
+        x[idx0] = x_min
+        k = np.where(x > 0.0, geometric_level(x, base, q), float(q + 1)).astype(np.int64)
+        regs = np.maximum(regs, k)
+    assert np.array_equal(got[0].astype(np.int64), regs)
