@@ -120,7 +120,13 @@ def _coded(corpus: DataFrame, id_col: str, vec_col: str, n_bits: int,
         .withColumn("qv", _quantized(F.col("_v")))
         .withColumn("norm", _dot(F.col("qv"), F.col("qv")))
         .drop("_v")
-        .persist()  # codes UDF + quantization evaluated once for all branches
+        # codes UDF + quantization evaluated once for all branches.
+        # localCheckpoint, NOT persist: a .persist() here is registered in
+        # the SQL CacheManager and never evicted by GC, so repeated ANN
+        # queries in a long-lived session would pin storage forever;
+        # localCheckpoint blocks are dropped by the ContextCleaner as soon
+        # as the plan becomes unreachable
+        .localCheckpoint(eager=True)
     )
     slim = coded.select(
         "_id", F.posexplode(F.col("_codes")).alias("table_idx", "code")

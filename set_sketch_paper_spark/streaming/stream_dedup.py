@@ -5,6 +5,22 @@ exist because the sketch merges are commutative/idempotent (sketch.hpp:
 1020-1023) and therefore stream-safe: signatures are a stateless map,
 exact dedup is dropDuplicatesWithinWatermark, and the full LSH pipeline runs
 per micro-batch via foreachBatch against a persistent signature store.
+
+Store layout & recovery semantics: the signature store is a parquet table
+partitioned by ``batch_id=N`` subdirectories.  Each micro-batch OVERWRITES
+its own partition (idempotent under Structured Streaming's batch replay —
+re-running batch N rewrites identical content instead of appending
+duplicates), re-ingested doc_ids are anti-joined away against the prior
+store, and the store append happens BEFORE pairs are emitted, so a crash
+between the two can only under-emit for the replayed batch (which the replay
+then re-emits) — never durably emit pairs for signatures the store lost.
+
+NOTE: store-path inspection (manifest, partition listing) uses driver-local
+filesystem APIs — ``signature_store_path`` must be a driver-visible
+filesystem (local disk / NFS).  For object stores (s3a://, hdfs://) swap
+``_list_batch_dirs`` / manifest IO for the Hadoop FileSystem API via
+``spark._jvm``; the dataframe reads/writes themselves are path-scheme
+agnostic already.
 """
 
 from __future__ import annotations
@@ -16,6 +32,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import PipelineConfig
 from ..operators.signatures import with_content_sha, with_minhash_signature
+
+STORE_FORMAT = "sig:binary,bands:strided,layout:batch_id-partitions"
 
 
 def stream_exact_dedup(
@@ -52,6 +70,8 @@ def check_or_write_store_manifest(store_path: str, pcfg: PipelineConfig) -> None
     config; appending to a store written under a different config_hash would
     silently produce bogus candidate pairs.  Mirrors the reference's merge
     precondition ``assert(config == other.getConfig())`` (sketch.hpp:1021).
+    The on-disk layout version is checked too — stores written by the old
+    flat-append layout are refused rather than silently misread.
     """
     mp = _store_manifest_path(store_path)
     if os.path.exists(mp):
@@ -63,10 +83,39 @@ def check_or_write_store_manifest(store_path: str, pcfg: PipelineConfig) -> None
                 f"{manifest.get('config_hash')}, refusing to append with "
                 f"{pcfg.config_hash()}"
             )
+        if manifest.get("format") != STORE_FORMAT:
+            raise ValueError(
+                f"signature store {store_path} has layout "
+                f"{manifest.get('format')!r}, this build writes "
+                f"{STORE_FORMAT!r} — migrate or start a fresh store"
+            )
         return
     os.makedirs(store_path, exist_ok=True)
     with open(mp, "w") as f:
-        json.dump({"config_hash": pcfg.config_hash(), "format": "sig:binary,bands:strided"}, f)
+        json.dump({"config_hash": pcfg.config_hash(), "format": STORE_FORMAT}, f)
+
+
+def _list_batch_dirs(store_path: str, exclude_batch_id=None) -> list[str]:
+    if not os.path.isdir(store_path):
+        return []
+    parts = [p for p in os.listdir(store_path) if p.startswith("batch_id=")]
+    if exclude_batch_id is not None:
+        parts = [p for p in parts if p != f"batch_id={exclude_batch_id}"]
+    return sorted(parts)
+
+
+def read_signature_store(spark, store_path: str, exclude_batch_id=None):
+    """The store as one DataFrame, or None when empty.  ``exclude_batch_id``
+    drops that batch's partition from the listing — essential on recovery
+    replay, where a half-written partition for the CURRENT batch may already
+    exist and must not feed its own candidate join."""
+    parts = _list_batch_dirs(store_path, exclude_batch_id)
+    if not parts:
+        return None
+    df = spark.read.option("basePath", store_path).parquet(
+        *[os.path.join(store_path, p) for p in parts]
+    )
+    return df.drop("batch_id")
 
 
 def incremental_candidates(
@@ -97,7 +146,7 @@ def incremental_candidates(
         .select("band_hash")
     )
     store_ok = store_bands.join(F.broadcast(hot), ["band_hash"], "left_anti")
-    # new-vs-store (store includes nothing from this batch yet) + new-vs-new
+    # new-vs-store (store excludes this batch's partition) + new-vs-new
     cross = (
         store_ok.join(F.broadcast(new_bands), ["band_hash"])
         .filter(F.col("_store_id") != F.col("_new_id"))
@@ -113,9 +162,16 @@ def incremental_candidates(
 def foreach_batch_near_dup(pcfg: PipelineConfig, signature_store_path: str,
                            id_col: str = "doc_id", content_col: str = "content",
                            sink=None, verify: bool = False):
-    """foreachBatch hook: sketch the micro-batch, emit LSH candidates of the
-    NEW rows vs the store (incremental — per-batch cost scales with batch
-    size, not corpus size), then append the batch to the store.
+    """foreachBatch hook: sketch the micro-batch, append it to the store
+    (idempotently, batch-partition overwrite, FIRST), then emit LSH
+    candidates of the NEW rows vs the store (incremental — per-batch cost
+    scales with batch size, not corpus size).
+
+    Exactly-once store contract: re-running a batch_id overwrites its own
+    ``batch_id=N`` partition with identical content (deterministic UDFs);
+    doc_ids already present in earlier partitions are anti-joined away, so a
+    document re-ingested by a later batch neither duplicates in the store
+    nor re-pairs against itself.
 
     ``verify=True`` runs the same known-cardinality joint estimation +
     threshold as the batch pipeline over the incremental candidates (both
@@ -139,23 +195,29 @@ def foreach_batch_near_dup(pcfg: PipelineConfig, signature_store_path: str,
         signed = (
             with_minhash_signature(batch_df, pcfg, content_col)
             .select(id_col, "sig", "bands", "n_shingles")
-            .localCheckpoint(eager=True)  # sketch once: reused for join + append
+            .dropDuplicates([id_col])
         )
-        has_store = any(
-            f.endswith(".parquet") or f == "_SUCCESS"
-            for f in os.listdir(signature_store_path)
+        store = read_signature_store(spark, signature_store_path, exclude_batch_id=batch_id)
+        if store is not None:
+            # a doc_id the store already holds contributes nothing new —
+            # and must not pair against its own stored signature
+            signed = signed.join(store.select(id_col), [id_col], "left_anti")
+        new_only = signed.localCheckpoint(eager=True)  # sketch once: reused for append + join
+        # STORE FIRST: overwrite this batch's own partition (idempotent on
+        # replay), so emitted pairs always refer to durably stored signatures
+        new_only.write.mode("overwrite").parquet(
+            os.path.join(signature_store_path, f"batch_id={batch_id}")
         )
         from ..operators import lsh as lsh_ops
 
-        if has_store:
-            store = spark.read.parquet(signature_store_path)
-            pairs = incremental_candidates(signed, store, pcfg, id_col)
+        if store is not None:
+            pairs = incremental_candidates(new_only, store, pcfg, id_col)
             all_sigs = store.select(id_col, "sig", "n_shingles").union(
-                signed.select(id_col, "sig", "n_shingles")
+                new_only.select(id_col, "sig", "n_shingles")
             )
         else:
-            pairs = lsh_ops.candidate_pairs(signed, pcfg.lsh, id_col=id_col)
-            all_sigs = signed.select(id_col, "sig", "n_shingles")
+            pairs = lsh_ops.candidate_pairs(new_only, pcfg.lsh, id_col=id_col)
+            all_sigs = new_only.select(id_col, "sig", "n_shingles")
         if verify:
             from ..functions.udfs import make_minhash_pair_estimator_udf
 
@@ -167,6 +229,5 @@ def foreach_batch_near_dup(pcfg: PipelineConfig, signature_store_path: str,
             sink(pairs, batch_id)
         else:
             pairs.count()
-        signed.write.mode("append").parquet(signature_store_path)
 
     return handle

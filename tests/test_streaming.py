@@ -324,3 +324,93 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     contents = sorted(r["content"] for r in got.collect())
     assert contents == ["alpha beta", "gamma"]
+
+
+def test_foreach_batch_replay_idempotent(spark, tmp_path):
+    """Structured Streaming recovery replays a micro-batch with the same
+    batch_id: the store must end up with each signature exactly once and the
+    replayed batch must emit the identical pair set."""
+    from set_sketch_paper_spark.streaming.stream_dedup import foreach_batch_near_dup
+
+    pdf = files_pandas(200, seed=42)
+    full = (
+        spark.createDataFrame(pdf)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "content")
+        .localCheckpoint()
+    )
+    store = str(tmp_path / "rstore")
+    emitted: dict = {}
+
+    def sink(pairs_df, batch_id):
+        emitted.setdefault(batch_id, []).append(
+            {(r["id1"], r["id2"]) for r in pairs_df.collect()}
+        )
+
+    handle = foreach_batch_near_dup(
+        PCFG, store, id_col="doc_id", content_col="content", sink=sink
+    )
+    t1 = full.filter(F.xxhash64("doc_id") % 2 == 0)
+    t2 = full.filter(F.xxhash64("doc_id") % 2 != 0)
+    handle(t1, 0)
+    handle(t2, 1)
+    handle(t2, 1)  # recovery replay of batch 1
+    stored = spark.read.parquet(store).select("doc_id").collect()
+    ids = [r["doc_id"] for r in stored]
+    assert len(ids) == len(set(ids)) == full.count()
+    # the replay emitted exactly the same pairs as the original run
+    assert emitted[1][0] == emitted[1][1]
+
+
+def test_foreach_batch_reingested_ids_not_duplicated(spark, tmp_path):
+    """A later batch re-delivering already-stored doc_ids must not duplicate
+    them in the store nor pair a document against its own stored signature."""
+    from set_sketch_paper_spark.streaming.stream_dedup import foreach_batch_near_dup
+
+    pdf = files_pandas(150, seed=42)
+    full = (
+        spark.createDataFrame(pdf)
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .select("doc_id", "content")
+        .localCheckpoint()
+    )
+    store = str(tmp_path / "istore")
+    pairs_by_batch: dict = {}
+
+    def sink(pairs_df, batch_id):
+        pairs_by_batch[batch_id] = {
+            (r["id1"], r["id2"]) for r in pairs_df.collect()
+        }
+
+    handle = foreach_batch_near_dup(
+        PCFG, store, id_col="doc_id", content_col="content", sink=sink
+    )
+    t1 = full.filter(F.xxhash64("doc_id") % 2 == 0)
+    handle(t1, 0)
+    handle(full, 1)  # batch 1 re-delivers all of t1 plus the new half
+    ids = [r["doc_id"] for r in spark.read.parquet(store).select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == full.count()
+    for i1, i2 in pairs_by_batch[1]:
+        assert i1 != i2
+    # batch 1's pairs involve at least one genuinely-new id
+    t1_ids = {r["doc_id"] for r in t1.select("doc_id").collect()}
+    new_ids = set(ids) - t1_ids
+    assert all(i1 in new_ids or i2 in new_ids for i1, i2 in pairs_by_batch[1])
+
+
+def test_store_manifest_refuses_old_layout(tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from set_sketch_paper_spark.streaming.stream_dedup import (
+        check_or_write_store_manifest,
+    )
+
+    store = str(tmp_path / "oldstore")
+    os.makedirs(store)
+    with open(os.path.join(store, "_STORE_MANIFEST.json"), "w") as f:
+        _json.dump({"config_hash": PCFG.config_hash(),
+                    "format": "sig:binary,bands:strided"}, f)
+    with _pytest.raises(ValueError, match="layout"):
+        check_or_write_store_manifest(store, PCFG)
