@@ -160,6 +160,37 @@ def _q_dup_clusters_exact(spark, sf_dir):
     )
 
 
+def _q_canonical_docs(spark, sf_dir):
+    """Canonical-representative selection — the training-data op that
+    follows clustering: per near-dup cluster keep the highest-quality doc
+    (ties broken by min doc_id); docs with no near-dup keep themselves.
+    Composes ngram_jaccard_pairs -> connected_components -> quality score
+    -> per-cluster window top-1, all oracle-checkable."""
+    from pyspark.sql import Window
+
+    from set_sketch_paper_spark.operators.clustering import connected_components
+    from set_sketch_paper_spark.operators.dedup import ngram_jaccard_pairs
+    from set_sketch_paper_spark.operators.textstats import with_quality_score
+
+    docs = _docs(spark, sf_dir)
+    edges = ngram_jaccard_pairs(
+        docs, k=3, threshold_num=1, threshold_den=2, id_col="doc_id", text_col="text"
+    )
+    clusters = connected_components(edges).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    q = with_quality_score(docs, "text").select("doc_id", "quality_q")
+    assigned = q.join(clusters, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality_q"), F.asc("doc_id"))
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_id"), "quality_q")
+    )
+
+
 def _q_ann_topk(spark, sf_dir):
     from set_sketch_paper_spark.operators.similarity import cosine_topk_bruteforce
 
@@ -741,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "substring_block_pairs": _q_substring_block_pairs,
         "dup_clusters_exact": _q_dup_clusters_exact,
+        "canonical_docs": _q_canonical_docs,
         "ann_topk": _q_ann_topk,
         "label_centroids": _q_label_centroids,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
@@ -886,6 +918,59 @@ WITH q AS (
 """
 
 
+def _canonical_docs_sql() -> str:
+    """Clusters (recursive-CTE CC over the >=0.5 n-gram edges, singletons
+    self-clustered) joined to the doc_quality score, per-cluster top-1 by
+    (quality DESC, doc_id ASC) — the SQL twin of _q_canonical_docs."""
+    cc_ctes = """
+, pairs AS (
+  SELECT id1, id2
+  FROM inter
+  JOIN (SELECT _id AS id1, n_grams AS n1 FROM sizes) s1 USING (id1)
+  JOIN (SELECT _id AS id2, n_grams AS n2 FROM sizes) s2 USING (id2)
+  WHERE inter_count * 2 >= (n1 + n2 - inter_count) * 1
+), sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS n FROM sym
+), reach AS (
+  SELECT n, n AS l FROM nodes
+  UNION
+  SELECT e.b AS n, r.l AS l FROM reach r JOIN sym e ON e.a = r.n
+), cc AS (
+  SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n
+)"""
+    quality_ctes = _TOKEN_STATS_CTE.strip()[len("WITH"):]  # ' t AS (...), s AS (...)'
+    return (
+        _ngram_cte(3).replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + cc_ctes
+        + ","
+        + quality_ctes
+        + """
+, qual AS (
+  SELECT doc_id,
+         CAST(floor((
+           (CASE WHEN n_tokens >= 20 THEN 1000000 ELSE n_tokens * 50000 END)
+           + greatest(0, 1000000 - punct_ratio_q * 4)
+           + greatest(0, 1000000 - digit_ratio_q * 4)
+         ) / 3) AS BIGINT) AS quality_q
+  FROM s
+), assigned AS (
+  SELECT q.doc_id, COALESCE(cc.cluster_id, q.doc_id) AS cluster_id, q.quality_q
+  FROM qual q LEFT JOIN cc ON cc.doc_id = q.doc_id
+), ranked AS (
+  SELECT cluster_id, doc_id, quality_q,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality_q DESC, doc_id ASC) AS rk
+  FROM assigned
+)
+SELECT cluster_id, doc_id AS keep_id, quality_q FROM ranked WHERE rk = 1
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     ngram3 = _ngram_cte(3) + _NGRAM_PAIRS_BODY.format(num=1, den=2)
     return {
@@ -920,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_block_pairs": _ngram_cte(16, min_shared=3)
         + "SELECT id1, id2, inter_count FROM inter",
         "dup_clusters_exact": (_ngram_cte(3) + _edges_and_cc_sql()).replace("WITH toks", "WITH RECURSIVE toks", 1),
+        "canonical_docs": _canonical_docs_sql(),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS query_id,
