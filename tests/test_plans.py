@@ -84,3 +84,25 @@ def test_exact_dedup_single_shuffle(spark):
     plan = _plan(entrymod.queries()["exact_dup_groups"](spark, SF_DIR))
     assert "HashAggregate" in plan
     assert plan.count("Exchange") <= 1, plan[:2000]
+
+
+def test_sketch_distinct_partial_is_partition_bounded(spark):
+    """The distinct-count aggregate's partial stage must be a mapInPandas
+    over the scan (no pre-shuffle: elements never shuffle, only fixed-size
+    partial sketches do), with exactly ONE shuffle — the per-key merge."""
+    from pyspark.sql import functions as F
+
+    from set_sketch_paper_spark.config import GHLLConfig
+    from set_sketch_paper_spark.operators.sketch_agg import sketch_distinct
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).withColumn(
+        "user_hash", F.xxhash64("user_id")
+    )
+    df = sketch_distinct(ev, ["event_type"], "user_hash", GHLLConfig(num_registers=256, q=62))
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    # the only exchange is the merge groupBy on the partial sketches
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    # and the map side runs directly over the pruned scan — no salt column
+    assert "_salt" not in plan
