@@ -429,6 +429,35 @@ def run_joint(n_pairs: int = 100_000, m: int = 256, reps: int = 3) -> dict:
     _, _, solved = est.joint_new_prefiltered(s1, s2, 0.7)
     batch_rate = n_pairs / batch_s
     scalar_rate = n_scalar / scalar_s
+
+    # range-CORRECTED joint ML (mu()-series likelihood, the short-document
+    # path): batched fixed-grid _mu_batch vs the scalar Brent twin
+    est_c = SetSketchEstimator(62, 1.0 / 4096, 2.0, 4096, True, True, False)
+    nbz_c = rng.randint(1, 4096 - 80, n_pairs)
+    nl_c = rng.randint(0, 40, n_pairs)
+    ng_c = rng.randint(0, 40, n_pairs)
+    cc1 = rng.uniform(1, 500, n_pairs)
+    cc2 = rng.uniform(1, 500, n_pairs)
+
+    def corr_batch_job():
+        est_c._joint_new_corrected_batch(nl_c, ng_c, nbz_c, cc1, cc2)
+
+    corr_batch_job()
+    corr_batch_s = min(_timed(corr_batch_job) for _ in range(reps))
+    n_corr_scalar = 1_000
+    corr_scalar_s = min(
+        _timed(
+            lambda: [
+                est_c._joint_new_corrected_one(
+                    int(nl_c[i]), int(ng_c[i]), int(nbz_c[i]), cc1[i], cc2[i]
+                )
+                for i in range(n_corr_scalar)
+            ]
+        )
+        for _ in range(reps)
+    )
+    corr_batch_rate = n_pairs / corr_batch_s
+    corr_scalar_rate = n_corr_scalar / corr_scalar_s
     return {
         "metric": "joint_ml_pairs_per_sec_batched",
         "value": round(batch_rate),
@@ -439,6 +468,9 @@ def run_joint(n_pairs: int = 100_000, m: int = 256, reps: int = 3) -> dict:
             "batch_speedup": round(batch_rate / scalar_rate, 1),
             "prefilter_solved_frac_t0.7": round(float(solved.mean()), 4),
             "prefilter_solver_calls_saved": round(1.0 - float(solved.mean()), 4),
+            "corrected_batch_pairs_per_sec": round(corr_batch_rate),
+            "corrected_scalar_pairs_per_sec": round(corr_scalar_rate),
+            "corrected_batch_speedup": round(corr_batch_rate / corr_scalar_rate, 1),
         },
         "sf": "kernel",
         "n_pairs": n_pairs,

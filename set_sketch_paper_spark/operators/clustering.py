@@ -138,8 +138,23 @@ def _symmetric_dedup(edges: DataFrame) -> DataFrame:
     return _symmetric(edges).dropDuplicates(["id1", "id2"])
 
 
+def _edge_set_stats(e: DataFrame):
+    """(count, hash-xor) fingerprint of a canonical deduped edge set — one
+    aggregation job.  Two equal-cardinality edge sets with equal 64-bit
+    xxhash64 XOR-folds are equal with overwhelming probability (collision
+    needs the symmetric difference's hashes to cancel exactly in GF(2)^64);
+    this replaces the two exceptAll+isEmpty jobs per star round.  bit_xor
+    instead of sum keeps it overflow-free under ANSI mode."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(id1, id2))").alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
 def connected_components_star(
-    edges: DataFrame, max_iterations: int = 40, reliable: bool = False
+    edges: DataFrame, max_iterations: int = 40, reliable: bool = False,
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
@@ -168,6 +183,8 @@ def connected_components_star(
         reliable,
     )
 
+    e_stats = _edge_set_stats(e)
+    converged = False
     for _ in range(max_iterations):
         # LARGE-STAR: per node u over its FULL neighborhood, link every
         # strictly-larger neighbor v to m = min(N(u) ∪ {u})
@@ -201,10 +218,23 @@ def connected_components_star(
             .dropDuplicates(["id1", "id2"])
         )
         new_e = _materialize(small, reliable)
-        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
-            e = new_e
-            break
+        new_stats = _edge_set_stats(new_e)
         e = new_e
+        if new_stats == e_stats:
+            converged = True
+            break
+        e_stats = new_stats
+    if not converged and require_convergence:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds — raise max_iterations (O(log n) expected) or pass "
+            "require_convergence=False to accept partial star edges"
+        )
+    if not converged:
+        # Partial labels: a vertex can carry several star edges with
+        # conflicting roots; keep the minimum per id so output stays 1 row
+        # per vertex (ADVICE r3).
+        e = e.groupBy("id1").agg(F.min("id2").alias("id2"))
 
     labels = verts.join(
         e.select(F.col("id1").alias("id"), F.col("id2").alias("root")), "id", "left"

