@@ -742,7 +742,23 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
     assets = synthetic_assets(spark, 200, seed=7, codec="encoded")
-    return extract_image_features(assets, decode_backend="auto")
+    return extract_image_features(
+        assets.filter(F.col("kind") != "audio"), decode_backend="auto"
+    )
+
+
+def _q_audio_features(spark, sf_dir):
+    """Genuine RIFF PCM WAV payloads -> pure-numpy chunk-walking decode ->
+    rms / zero-crossing rate / spectral centroid / band energies
+    (np.fft.rfft).  Rows-only (DuckDB cannot decode WAV); the feature math
+    is cross-checked against a local numpy oracle in tests/test_multimodal.py."""
+    from set_sketch_paper_spark.operators.multimodal import (
+        extract_audio_features,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, 200, seed=7, codec="encoded")
+    return extract_audio_features(assets, decode_backend="auto")
 
 
 def _q_multimodal_resize(spark, sf_dir):
@@ -754,8 +770,10 @@ def _q_multimodal_resize(spark, sf_dir):
     )
 
     return resize_images(
-        synthetic_assets(spark, 200, seed=7, codec="encoded"), 8, 8,
-        decode_backend="auto",
+        synthetic_assets(spark, 200, seed=7, codec="encoded").filter(
+            F.col("kind") != "audio"
+        ),
+        8, 8, decode_backend="auto",
     )
 
 
@@ -810,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "joint_error_mc": _q_joint_error_mc,
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,
+        "audio_features": _q_audio_features,
         "bbit_signatures": _q_bbit_signatures,
         "hmh_joint_pairs": _q_hmh_joint_pairs,
         "training_pipeline_clusters": _q_training_pipeline_clusters,

@@ -3,11 +3,13 @@ with typed metadata.
 
 The Spark-side machinery (schemas, partition-aware batch processing,
 Arrow-batched UDF signatures, fan-out of frame samples) is real and tested,
-and so is uncompressed-image decode: pure-numpy PGM (P5), PPM (P6) and
-24-bit BMP codecs need no libraries (``decode_backend='auto'`` sniffs the
-magic bytes).  Compressed codecs (JPEG/PNG/...) defer to PIL when present;
-this container ships no image libraries, so ``decode_backend='fake'``
-remains available as the deterministic hash-seeded stand-in for them.
+and so are the uncompressed codecs: pure-numpy PGM (P5), PPM (P6) and
+24-bit BMP image decode (``decode_backend='auto'`` sniffs the magic bytes)
+and a chunk-walking RIFF PCM WAV audio codec feeding real spectral features
+(rfft periodogram).  Compressed codecs (JPEG/PNG/MP3/...) defer to
+PIL/soundfile when present; this container ships no media libraries, so
+``decode_backend='fake'`` remains available as the deterministic
+hash-seeded stand-in for them.
 """
 
 from __future__ import annotations
@@ -127,6 +129,133 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise ValueError(f"unknown image magic {payload[:2]!r}")
 
 
+# ---------------------------------------------------------------------------
+# Pure-numpy WAV (RIFF PCM) codec + audio features
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 samples (n,) mono or (n, ch) -> RIFF/WAVE PCM bytes."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = np.ascontiguousarray(s).tobytes()
+    block_align = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block_align,
+                      block_align, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:  # RIFF chunks are word-aligned
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM bytes -> (int16 samples (n,) mono / (n, ch), rate).
+
+    Walks the chunk list properly (skipping LIST/INFO/junk chunks, honoring
+    the spec's word alignment of odd-sized chunks) instead of assuming the
+    44-byte canonical layout, so files from real recorders parse too.
+    Supports the PCM formats a training pipeline actually meets uncompressed:
+    16-bit signed and 8-bit unsigned."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:4]!r}")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    fmt = None
+    data = None
+    while pos + 8 <= min(end, len(payload)):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # odd chunks are padded to even
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only PCM (format 1) supported, got {audio_format}")
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2", count=(len(data) // 2 // ch) * ch)
+    elif bits == 8:
+        u = np.frombuffer(data, dtype=np.uint8, count=(len(data) // ch) * ch)
+        s = (u.astype(np.int16) - 128) << 8
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+    return (s.reshape(-1, ch) if ch > 1 else s.copy()), rate
+
+
+# (low, high) Hz edges of the spectral energy bands emitted by
+# extract_audio_features — speech-ish octave-style split below Nyquist/16k
+AUDIO_BANDS = ((0.0, 300.0), (300.0, 1000.0), (1000.0, 3000.0), (3000.0, 8000.0))
+
+
+def audio_feature_row(samples: np.ndarray, rate: int) -> dict:
+    """(int16 samples, rate) -> scalar feature dict: rms, zero-crossing rate,
+    spectral centroid, per-band energy fractions (np.fft.rfft periodogram),
+    duration.  Pure numpy; shared by the Spark UDF and the test oracle."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    x = x / 32768.0
+    n = x.shape[0]
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(n, 1.0 / rate) if n else np.zeros(1)
+    total = float(spec.sum())
+    centroid = float((freqs * spec).sum() / total) if total > 0 else 0.0
+    out = {
+        "duration_sec": n / float(rate) if rate else 0.0,
+        "rms": rms,
+        "zcr": zcr,
+        "spectral_centroid": centroid,
+    }
+    for i, (flo, fhi) in enumerate(AUDIO_BANDS):
+        band = float(spec[(freqs >= flo) & (freqs < fhi)].sum())
+        out[f"band{i}"] = band / total if total > 0 else 0.0
+    return out
+
+
+def _decode_audio_fake(payload: bytes) -> tuple[np.ndarray, int]:
+    """Deterministic fake audio decoder (pairs with codec='raw' payloads)."""
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") % (2**31 - 1)
+    rng = np.random.RandomState(seed)
+    return rng.randint(-2**15, 2**15, size=1600).astype(np.int16), 16000
+
+
+def extract_audio_features(df: DataFrame, decode_backend: str = "auto") -> DataFrame:
+    """Audio assets -> per-asset scalar features via mapInPandas: genuine
+    RIFF PCM decode (decode_wav) then rms / zero-crossing rate / spectral
+    centroid / band energy fractions — the audio analog of
+    extract_image_features, with every output column scalar."""
+    if decode_backend == "auto":
+        decode = decode_wav
+    elif decode_backend == "fake":
+        decode = _decode_audio_fake
+    else:
+        raise ValueError(f"unknown decode_backend {decode_backend!r}")
+    band_cols = ", ".join(f"band{i} double" for i in range(len(AUDIO_BANDS)))
+    out_schema = (
+        "asset_id long, sample_rate int, duration_sec double, rms double, "
+        f"zcr double, spectral_centroid double, {band_cols}"
+    )
+
+    def feats(iterator):
+        for pdf in iterator:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples, rate = decode(bytes(r.payload))
+                row = {"asset_id": r.asset_id, "sample_rate": rate}
+                row.update(audio_feature_row(samples, rate))
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(feats, out_schema)
+
+
 def to_gray(arr: np.ndarray) -> np.ndarray:
     """RGB -> integer Rec.601 luma ((299R + 587G + 114B) // 1000 —
     deterministic, no floats); grayscale passes through."""
@@ -170,10 +299,11 @@ def synthetic_assets(
     """Deterministic binary-asset table for tests/benches.
 
     ``codec='raw'`` keeps the payload as opaque random bytes (pairs with
-    decode_backend='fake'); ``codec='encoded'`` plants REAL encoded images —
-    cycling PGM / PPM / BMP by asset_id so the sniffing decode path is
-    exercised across all three containers (pairs with
-    decode_backend='auto')."""
+    decode_backend='fake'); ``codec='encoded'`` plants REAL encoded media —
+    image/video kinds cycle the PGM / PPM / BMP containers so the sniffing
+    decode path is exercised across all three, and audio kinds carry genuine
+    RIFF PCM WAVs (two deterministic sine tones + noise) so the audio path
+    decodes real samples (pairs with decode_backend='auto')."""
 
     def gen(iterator):
         for pdf in iterator:
@@ -184,8 +314,20 @@ def synthetic_assets(
                 w, h = 16 + (asset_id % 4) * 8, 16
                 if codec == "raw":
                     payload = rng.bytes(64 + asset_id % 128)
+                elif kind == "audio":
+                    rate, n_s = 16000, 1600 + (asset_id % 5) * 800
+                    t = np.arange(n_s) / rate
+                    f1 = 200.0 + (asset_id % 13) * 250.0
+                    wave = (
+                        0.5 * np.sin(2 * np.pi * f1 * t)
+                        + 0.25 * np.sin(2 * np.pi * 2.5 * f1 * t)
+                        + 0.05 * rng.standard_normal(n_s)
+                    )
+                    payload = encode_wav(
+                        np.clip(wave * 20000, -32768, 32767).astype(np.int16), rate
+                    )
                 else:
-                    variant = asset_id % 3
+                    variant = (asset_id // 3) % 3
                     if variant == 0:
                         payload = encode_pgm(rng.randint(0, 256, (h, w), dtype=np.uint8))
                     elif variant == 1:

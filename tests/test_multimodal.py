@@ -116,7 +116,9 @@ def test_decode_rejects_unknown_magic():
 def test_features_on_encoded_assets_match_numpy(spark):
     """End-to-end: genuinely encoded PGM/PPM/BMP payloads through the Spark
     feature extractor equal direct decode + numpy on the same bytes."""
-    assets = synthetic_assets(spark, 45, seed=7, codec="encoded")
+    assets = synthetic_assets(spark, 45, seed=7, codec="encoded").filter(
+        "kind != 'audio'"
+    )
     src = {r["asset_id"]: r for r in assets.collect()}
     got = {
         r["asset_id"]: r
@@ -133,7 +135,9 @@ def test_features_on_encoded_assets_match_numpy(spark):
 
 
 def test_resize_on_encoded_assets_byte_exact(spark):
-    assets = synthetic_assets(spark, 30, seed=11, codec="encoded")
+    assets = synthetic_assets(spark, 30, seed=11, codec="encoded").filter(
+        "kind != 'audio'"
+    )
     src = {r["asset_id"]: r for r in assets.collect()}
     out = {
         r["asset_id"]: r
@@ -144,3 +148,96 @@ def test_resize_on_encoded_assets_byte_exact(spark):
         want = _resize_nearest(px, 8, 8)
         got_px = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(8, 8)
         assert (got_px == want).all()
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) codec + audio features
+# ---------------------------------------------------------------------------
+
+import struct  # noqa: E402
+import pytest  # noqa: E402
+
+from set_sketch_paper_spark.operators.multimodal import (  # noqa: E402
+    AUDIO_BANDS,
+    audio_feature_row,
+    decode_wav,
+    encode_wav,
+    extract_audio_features,
+)
+
+
+def test_wav_roundtrip_byte_exact_mono_and_stereo():
+    rng = np.random.RandomState(3)
+    mono = rng.randint(-2**15, 2**15, 1601).astype(np.int16)  # odd data size? 1601*2 even; use n odd channels
+    got, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and got.dtype == np.int16
+    assert (got == mono).all()
+    stereo = rng.randint(-2**15, 2**15, (500, 2)).astype(np.int16)
+    got2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and got2.shape == (500, 2)
+    assert (got2 == stereo).all()
+
+
+def test_wav_chunk_walking_and_odd_padding():
+    """decode_wav must walk past non-data chunks (LIST/INFO, odd-sized with
+    pad byte) rather than assume the canonical 44-byte layout."""
+    samples = np.arange(-50, 50, dtype=np.int16)
+    canonical = encode_wav(samples, 16000)
+    fmt_chunk = canonical[12:36]            # 'fmt ' + size + 16 bytes
+    data_chunk = canonical[36:]             # 'data' + size + raster
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size -> pad
+    body = b"WAVE" + junk + fmt_chunk + b"junk" + struct.pack("<I", 4) + b"abcd" + data_chunk
+    crafted = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, rate = decode_wav(crafted)
+    assert rate == 16000
+    assert (got == samples).all()
+
+
+def test_wav_8bit_pcm():
+    u8 = np.array([0, 128, 255], dtype=np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", 3) + u8.tobytes() + b"\x00"
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, rate = decode_wav(payload)
+    assert got.tolist() == [(-128) << 8, 0, 127 << 8]
+
+
+def test_wav_rejects_bad_payloads():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + b"\x00" * 40)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no chunks
+
+
+def test_audio_features_pure_tone():
+    """1 kHz tone at 16 kHz: zcr ~ 2*f/rate, centroid ~ 1 kHz, energy in
+    band 1 (300-1000 is exclusive of 1000 -> band 2 [1000,3000) holds it)."""
+    rate, f = 16000, 1000.0
+    t = np.arange(4096) / rate
+    s = (np.sin(2 * np.pi * f * t) * 20000).astype(np.int16)
+    feats = audio_feature_row(s, rate)
+    assert abs(feats["zcr"] - 2 * f / rate) < 0.01
+    assert abs(feats["spectral_centroid"] - f) < 20.0
+    assert feats["band2"] > 0.95
+    assert abs(feats["rms"] - (20000 / 32768) / np.sqrt(2)) < 0.01
+    assert feats["duration_sec"] == 4096 / rate
+
+
+def test_audio_features_on_encoded_assets_match_numpy(spark):
+    """End-to-end: genuine WAV payloads through the Spark extractor equal
+    direct decode_wav + audio_feature_row on the same bytes."""
+    assets = synthetic_assets(spark, 45, seed=7, codec="encoded")
+    src = {r["asset_id"]: r for r in assets.filter("kind = 'audio'").collect()}
+    got = {
+        r["asset_id"]: r
+        for r in extract_audio_features(assets, decode_backend="auto").collect()
+    }
+    assert set(got) == set(src) and len(got) == 15
+    for aid, r in got.items():
+        samples, rate = decode_wav(bytes(src[aid]["payload"]))
+        want = audio_feature_row(samples, rate)
+        assert r["sample_rate"] == rate == 16000
+        for key, val in want.items():
+            assert abs(r[key] - val) < 1e-12, (aid, key)
+        assert abs(sum(r[f"band{i}"] for i in range(len(AUDIO_BANDS))) - 1.0) < 0.05
