@@ -150,3 +150,90 @@ def test_ann_pairs_subset_of_exact_with_bitequal_scores(q, spark):
     for p, c in ann.items():
         assert c == exact[p], p
     assert len(ann) / len(exact) >= 0.95
+
+
+def test_winnow_pairs_superset_of_substring_blocks(q, spark):
+    """winnow_substring_pairs (sampled fingerprints, k=8/window=4) must
+    cover every pair the oracle-green substring_block_pairs twin finds with
+    >= 3 shared full k=16 grams: a 16-byte shared substring contains 9
+    k=8 grams, so winnowing's min-per-window sampling keeps >= 1 shared
+    print per block at these parameters."""
+    wp = {(r["id1"], r["id2"]) for r in q["winnow_substring_pairs"](spark, SF_DIR).collect()}
+    sp = {(r["id1"], r["id2"]) for r in q["substring_block_pairs"](spark, SF_DIR).collect()}
+    assert len(sp) >= 10
+    assert sp <= wp, sorted(sp - wp)[:5]
+
+
+def test_hmh_joint_tracks_exact_jaccard(q, spark, exact_jaccard):
+    """hmh_joint_pairs (collision-corrected HyperMinHash original estimator,
+    sketch.hpp:1785-1821) vs exact n-gram jaccard on shared pairs."""
+    est = {
+        (i1, i2): j
+        for i1, i2, j in _rows(q, spark, "hmh_joint_pairs", ["id1", "id2", "est_jaccard"])
+    }
+    shared = set(est) & set(exact_jaccard)
+    assert len(shared) >= 10
+    errs = np.array([est[p] - exact_jaccard[p] for p in shared])
+    assert np.mean(np.abs(errs)) < 0.03, np.mean(np.abs(errs))
+    assert np.max(np.abs(errs)) < 0.10, np.max(np.abs(errs))
+
+
+def test_minhash_near_dup_pairs_track_exact(q, spark, exact_jaccard):
+    """minhash_near_dup_pairs (OPH + LSH + verification at t=0.5) vs the
+    exact twin: every exact pair clear above threshold (J >= 0.6) is found,
+    no found pair has exact J below 0.35, and the estimates track."""
+    est = {
+        (i1, i2): j
+        for i1, i2, j in _rows(
+            q, spark, "minhash_near_dup_pairs", ["id1", "id2", "est_jaccard"]
+        )
+    }
+    clear_hi = {p for p, j in exact_jaccard.items() if j >= 0.6}
+    assert len(clear_hi) >= 10
+    assert clear_hi <= set(est), sorted(clear_hi - set(est))[:5]
+    for p in set(est) & set(exact_jaccard):
+        assert exact_jaccard[p] >= 0.35, (p, exact_jaccard[p])
+    errs = np.array([est[p] - exact_jaccard[p] for p in set(est) & set(exact_jaccard)])
+    assert np.max(np.abs(errs)) < 0.15, np.max(np.abs(errs))
+
+
+def test_bbit_signatures_bracket_exact_jaccard(q, spark, exact_jaccard):
+    """bbit_signatures (8-bit compacted dense m=128 registers): the
+    collision-corrected equal-register fraction (frac - 2^-b)/(1 - 2^-b)
+    (Li & Koenig) must track exact jaccard on the exact twin's pairs."""
+    bb = {
+        r["doc_id"]: np.frombuffer(bytes(r["bbit_sig"]), dtype=np.uint8)
+        for r in q["bbit_signatures"](spark, SF_DIR).collect()
+    }
+    pairs = [(p, j) for p, j in exact_jaccard.items() if p[0] in bb and p[1] in bb]
+    assert len(pairs) >= 10
+    errs = []
+    for (i1, i2), j in pairs:
+        frac = float((bb[i1] == bb[i2]).mean())
+        errs.append((frac - 1.0 / 256) / (1.0 - 1.0 / 256) - j)
+    errs = np.array(errs)
+    assert np.mean(np.abs(errs)) < 0.05, np.mean(np.abs(errs))
+    assert np.max(np.abs(errs)) < 0.12, np.max(np.abs(errs))
+
+
+def test_clear_dup_pairs_coclustered_in_minhash_clusters(q, spark, exact_jaccard):
+    """Every pair the oracle-green exact twin marks as a clear near-dup
+    (exact n-gram jaccard >= 0.6, well above the t=0.5 config) must land in
+    ONE cluster in dup_clusters_minhash — the cluster assignments match the
+    exact pair structure, not just the pair estimates (the north rule's
+    cluster-assignment criterion at query level; sf0.01 has no
+    byte-identical docs, so near-dup pairs are the strongest fixture)."""
+    clear = [p for p, j in exact_jaccard.items() if j >= 0.6]
+    assert len(clear) >= 10
+    # file_id = xxhash64(doc_id) (with_file_id); recover the doc_id mapping
+    from pyspark.sql import functions as F
+
+    id_map = {
+        r["doc_id"]: r["fid"]
+        for r in entry._docs(spark, SF_DIR)
+        .select("doc_id", F.xxhash64("doc_id").alias("fid"))
+        .collect()
+    }
+    cl = dict(_rows(q, spark, "dup_clusters_minhash", ["file_id", "cluster_id"]))
+    for i1, i2 in clear:
+        assert cl[id_map[i1]] == cl[id_map[i2]], (i1, i2)
