@@ -601,24 +601,32 @@ def _q_cardinality_error_mc(spark, sf_dir):
     """Distributed Monte-Carlo GHLL cardinality bias/RMSE harness
     (cardinality_test.cpp restated; rows-only — accuracy is asserted
     against closed-form theory in tests/test_mc_bench.py)."""
-    from set_sketch_paper_spark.operators.mc_bench import cardinality_error_mc
+    from set_sketch_paper_spark.operators.mc_bench import (
+        GHLL_CSV_CARDINALITIES,
+        cardinality_error_mc,
+    )
 
-    df = cardinality_error_mc(spark, num_examples=100)
+    df = cardinality_error_mc(
+        spark, cardinalities=GHLL_CSV_CARDINALITIES, num_examples=100
+    )
     return df.select(
         "cardinality", "n_examples",
-        F.round(F.col("rel_rmse") * 1000).cast(LongType()).alias("rel_rmse_k"),
+        F.round(F.col("rel_rmse") * 1_000_000).cast(LongType()).alias("rel_rmse_q"),
     )
 
 
 def _q_joint_error_mc(spark, sf_dir):
     """Distributed Monte-Carlo MinHash Jaccard RMSE harness
     (joint_estimation_test.cpp restated; rows-only)."""
-    from set_sketch_paper_spark.operators.mc_bench import joint_error_mc
+    from set_sketch_paper_spark.operators.mc_bench import (
+        MINHASH_CSV_TUPLES,
+        joint_error_mc,
+    )
 
-    df = joint_error_mc(spark, num_examples=100)
+    df = joint_error_mc(spark, tuples=MINHASH_CSV_TUPLES, num_examples=100, m=4096)
     return df.select(
         "inter", "d1", "d2", "n_examples",
-        F.round(F.col("rmse") * 1000).cast(LongType()).alias("rmse_k"),
+        F.round(F.col("rmse") * 1_000_000).cast(LongType()).alias("rmse_q"),
     )
 
 

