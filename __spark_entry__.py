@@ -769,6 +769,19 @@ def _q_audio_features(spark, sf_dir):
     return extract_audio_features(assets, decode_backend="auto")
 
 
+def _q_video_frame_stats(spark, sf_dir):
+    """Genuine concatenated-PGM video streams -> per-sampled-frame decoded
+    pixel stats (stride 4).  Rows-only; Spark-vs-numpy parity pinned in
+    tests/test_multimodal.py."""
+    from set_sketch_paper_spark.operators.multimodal import (
+        sample_video_frames_decoded,
+        synthetic_assets,
+    )
+
+    assets = synthetic_assets(spark, 200, seed=7, codec="encoded")
+    return sample_video_frames_decoded(assets, every_nth=4)
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """Genuinely-encoded PGM/PPM/BMP payloads -> pure-numpy decode ->
     nearest-neighbor resample -> raw-buffer re-encode.  Rows-only."""
@@ -837,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,
         "audio_features": _q_audio_features,
+        "video_frame_stats": _q_video_frame_stats,
         "bbit_signatures": _q_bbit_signatures,
         "hmh_joint_pairs": _q_hmh_joint_pairs,
         "training_pipeline_clusters": _q_training_pipeline_clusters,

@@ -130,6 +130,68 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Pure-numpy video container: a concatenated-PGM frame stream (each frame is
+# a self-delimiting binary P5, so the stream needs no outer index — the
+# uncompressed analog of an MJPEG elementary stream)
+# ---------------------------------------------------------------------------
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(n_frames, h, w) uint8 grayscale -> concatenated binary PGM stream."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    return b"".join(encode_pgm(fr) for fr in f)
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """Concatenated-PGM stream -> (n_frames, h, w) uint8 (all frames must
+    share dimensions, as in any sane elementary stream)."""
+    frames = []
+    pos = 0
+    while pos < len(payload):
+        chunk = payload[pos:]
+        if chunk[:2] != b"P5":
+            raise ValueError(f"frame {len(frames)}: bad magic {chunk[:2]!r}")
+        (_, w_b, h_b, _), off = _pnm_header(chunk, 4)
+        w, h = int(w_b), int(h_b)
+        frames.append(
+            np.frombuffer(chunk, dtype=np.uint8, count=w * h, offset=off).reshape(h, w)
+        )
+        pos += off + w * h
+    if not frames:
+        raise ValueError("empty video stream")
+    return np.stack(frames)
+
+
+def sample_video_frames_decoded(df: DataFrame, every_nth: int = 4) -> DataFrame:
+    """Video assets -> one row per SAMPLED frame with genuinely decoded
+    pixel stats: decode_video inside mapInPandas, stride every_nth frames
+    (the real frame-sampling path; sample_video_frames keeps the id-only
+    explode shape for plan tests).  Output columns all scalar."""
+    out_schema = (
+        "asset_id long, frame_idx int, n_frames int, mean double, std double"
+    )
+
+    def go(iterator):
+        for pdf in iterator:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames = decode_video(bytes(r.payload))
+                for idx in range(0, frames.shape[0], every_nth):
+                    fr = frames[idx]
+                    rows.append(
+                        {
+                            "asset_id": r.asset_id,
+                            "frame_idx": idx,
+                            "n_frames": int(frames.shape[0]),
+                            "mean": float(fr.mean()),
+                            "std": float(fr.std()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(go, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Pure-numpy WAV (RIFF PCM) codec + audio features
 # ---------------------------------------------------------------------------
 
@@ -300,10 +362,12 @@ def synthetic_assets(
 
     ``codec='raw'`` keeps the payload as opaque random bytes (pairs with
     decode_backend='fake'); ``codec='encoded'`` plants REAL encoded media —
-    image/video kinds cycle the PGM / PPM / BMP containers so the sniffing
-    decode path is exercised across all three, and audio kinds carry genuine
-    RIFF PCM WAVs (two deterministic sine tones + noise) so the audio path
-    decodes real samples (pairs with decode_backend='auto')."""
+    image kinds cycle the PGM / PPM / BMP containers so the sniffing decode
+    path is exercised across all three, audio kinds carry genuine RIFF PCM
+    WAVs (two deterministic sine tones + noise), and video kinds carry a
+    12-frame concatenated-PGM stream (rolling gradient, per-frame brightness
+    ramp) so every modality decodes real content (pairs with
+    decode_backend='auto')."""
 
     def gen(iterator):
         for pdf in iterator:
@@ -326,6 +390,12 @@ def synthetic_assets(
                     payload = encode_wav(
                         np.clip(wave * 20000, -32768, 32767).astype(np.int16), rate
                     )
+                elif kind == "video":
+                    base = rng.randint(0, 200, (h, w), dtype=np.uint8)
+                    frames = np.stack(
+                        [np.roll(base, i, axis=1) + np.uint8(i * 4) for i in range(12)]
+                    )
+                    payload = encode_video(frames)
                 else:
                     variant = (asset_id // 3) % 3
                     if variant == 0:

@@ -241,3 +241,51 @@ def test_audio_features_on_encoded_assets_match_numpy(spark):
         for key, val in want.items():
             assert abs(r[key] - val) < 1e-12, (aid, key)
         assert abs(sum(r[f"band{i}"] for i in range(len(AUDIO_BANDS))) - 1.0) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Video: concatenated-PGM frame stream
+# ---------------------------------------------------------------------------
+
+from set_sketch_paper_spark.operators.multimodal import (  # noqa: E402
+    decode_video,
+    encode_video,
+    sample_video_frames_decoded,
+)
+
+
+def test_video_roundtrip_byte_exact():
+    rng = np.random.RandomState(5)
+    frames = rng.randint(0, 256, (7, 12, 9), dtype=np.uint8)
+    got = decode_video(encode_video(frames))
+    assert got.shape == (7, 12, 9)
+    assert (got == frames).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_video(b"P6\n1 1\n255\n\x00\x00\x00")  # not a P5 stream
+    with _pytest.raises(ValueError):
+        decode_video(b"")
+
+
+def test_video_frame_sampling_decoded_matches_numpy(spark):
+    """Sampled-frame stats from the Spark path equal direct decode_video +
+    numpy on the same bytes, with the configured stride."""
+    assets = synthetic_assets(spark, 30, seed=7, codec="encoded")
+    src = {r["asset_id"]: r for r in assets.filter("kind = 'video'").collect()}
+    got = {}
+    for r in sample_video_frames_decoded(assets, every_nth=4).collect():
+        got[(r["asset_id"], r["frame_idx"])] = r
+    assert len(src) == 10
+    assert len(got) == 10 * 3  # 12 frames, stride 4 -> frames 0, 4, 8
+    for aid, srow in src.items():
+        frames = decode_video(bytes(srow["payload"]))
+        assert frames.shape[0] == srow["n_frames"] == 12
+        for idx in range(0, 12, 4):
+            r = got[(aid, idx)]
+            assert r["n_frames"] == 12
+            assert abs(r["mean"] - float(frames[idx].mean())) < 1e-9
+            assert abs(r["std"] - float(frames[idx].std())) < 1e-9
+    # frames genuinely differ (brightness ramp) -> stats are frame-specific
+    means = [got[(aid, 0)]["mean"] for aid in src] + [got[(aid, 8)]["mean"] for aid in src]
+    assert len(set(round(m, 6) for m in means)) > 10
