@@ -237,3 +237,52 @@ def test_clear_dup_pairs_coclustered_in_minhash_clusters(q, spark, exact_jaccard
     cl = dict(_rows(q, spark, "dup_clusters_minhash", ["file_id", "cluster_id"]))
     for i1, i2 in clear:
         assert cl[id_map[i1]] == cl[id_map[i2]], (i1, i2)
+
+
+def test_lsh_candidates_cover_verified_pairs(q, spark):
+    """lsh_candidates must cover every pair that survives verification in
+    minhash_near_dup_pairs (same DOC_PCFG config): the banding stage's
+    recall gate at query level."""
+    cand = {(r["id1"], r["id2"]) for r in q["lsh_candidates"](spark, SF_DIR).collect()}
+    ver = {(r["id1"], r["id2"]) for r in q["minhash_near_dup_pairs"](spark, SF_DIR).collect()}
+    assert len(ver) >= 10
+    assert ver <= cand, sorted(ver - cand)[:5]
+
+
+def test_ann_clusters_refine_exact_clusters(q, spark):
+    """embedding_near_dup_clusters_ann vs the oracle-green recursive-CTE
+    exact twin: ANN co-clustered pairs are a subset of exact co-clustered
+    pairs (LSH can only MISS edges, never invent them — scores are
+    bit-equal) at recall >= 0.9."""
+    def co_pairs(rows):
+        import itertools
+
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["cluster_id"], []).append(r["vec_id"])
+        return {
+            tuple(sorted(p))
+            for g in groups.values()
+            for p in itertools.combinations(g, 2)
+        }
+
+    pe = co_pairs(q["embedding_near_dup_clusters"](spark, SF_DIR).collect())
+    pa = co_pairs(q["embedding_near_dup_clusters_ann"](spark, SF_DIR).collect())
+    assert len(pe) >= 10
+    assert pa <= pe, sorted(pa - pe)[:5]
+    assert len(pa) / len(pe) >= 0.9, (len(pa), len(pe))
+
+
+def test_simhash_pairs_are_exact_near_dups(q, spark, exact_jaccard):
+    """Every simhash pair (64-bit token-profile fingerprints at the query's
+    hamming cap) must appear in the exact n-gram twin's pair set with high
+    exact jaccard — simhash collisions at small hamming distance imply
+    near-identical token profiles on this corpus."""
+    sh = [
+        (tuple(sorted((r["id1"], r["id2"]))), r["hamming"])
+        for r in q["simhash_pairs"](spark, SF_DIR).collect()
+    ]
+    assert len(sh) >= 8
+    for p, h in sh:
+        assert p in exact_jaccard, (p, h)
+        assert exact_jaccard[p] >= 0.9, (p, h, exact_jaccard[p])
