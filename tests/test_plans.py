@@ -106,3 +106,15 @@ def test_sketch_distinct_partial_is_partition_bounded(spark):
     assert n_exchanges == 1, plan
     # and the map side runs directly over the pruned scan — no salt column
     assert "_salt" not in plan
+
+
+def test_modality_feature_paths_are_narrow(spark):
+    """audio_features / video_frame_stats / multimodal_features are pure
+    mapInPandas pipelines over the generated asset partitions: exactly one
+    decode UDF stage, NO shuffle (Exchange) anywhere — per-asset decode must
+    stay partition-local at any scale."""
+    for qname in ("audio_features", "video_frame_stats", "multimodal_features"):
+        plan = _plan(entrymod.queries()[qname](spark, SF_DIR))
+        assert "Exchange" not in plan, (qname, plan[:1500])
+        assert plan.count("MapInPandas") == 2, (qname, plan.count("MapInPandas"))
+        # (2 = the synthetic-asset generator + the feature extractor)
