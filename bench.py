@@ -55,6 +55,8 @@ HEADLINE = [
     "ann_lsh_topk",           # hyperplane-LSH ANN
     "token_stats",            # text-quality analysis
     "lang_id",
+    "audio_features",         # WAV decode + spectral features (mapInPandas)
+    "video_frame_stats",      # PGM-stream decode + frame sampling
     "moments_by_returnflag",  # relational agg
     "top_customers_by_spend", # join + window top-k
     "user_event_seq",         # partitioned window
