@@ -442,9 +442,9 @@ class SetSketchEstimator:
     def _mu_grid(self) -> np.ndarray | None:
         """Shared b^-j grid for the batched mu() series (built lazily, once
         per estimator).  J is sized so the truncated tail past the per-row
-        k0 offset is < ~1e-17 relative to the series peak (for b=2 that is
-        66 terms; see _mu_batch).  None => base too close to 1 for a fixed
-        grid (J would exceed 2048) — callers fall back to the scalar mu."""
+        k0 offset is < ~1e-12 of the result (for b=2 that is 49 terms; see
+        _mu_batch).  None => base too close to 1 for a fixed grid (J would
+        exceed 2048) — callers fall back to the scalar mu."""
         grid = getattr(self, "_mu_grid_cache", False)
         if grid is False:
             J = int(math.ceil(math.log(_MU_CUT * 1e13) / self.log_base))
