@@ -30,6 +30,10 @@ from set_sketch_paper_spark.config import (
     SetSketchConfig,
     ShingleConfig,
 )
+from set_sketch_paper_spark.operators.sampling import (
+    _hex_threshold as _sampling_thr,
+    split_edges as _split_edges,
+)
 
 # documents in the testdata are short (10-100 whitespace tokens): k=3
 # shingles + 128-register signatures, 32x4 banding for high recall at J>=0.5.
@@ -769,6 +773,42 @@ def _q_audio_features(spark, sf_dir):
     return extract_audio_features(assets, decode_backend="auto")
 
 
+def _q_docs_hash_sample(spark, sf_dir):
+    """Deterministic 25% corpus sample keyed on doc_id (md5-threshold
+    membership — reproducible across engines/layouts, unlike df.sample).
+    Oracle-exact: DuckDB computes the identical md5 predicate."""
+    from set_sketch_paper_spark.operators.sampling import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    return hash_sample(docs, 0.25, ["doc_id"], salt="s42").select("doc_id")
+
+
+def _q_docs_stratified_sample(spark, sf_dir):
+    """Per-language deterministic rebalancing (downsample en to 20%, de to
+    60%, keep the rest whole) as one narrow CASE-threshold filter."""
+    from set_sketch_paper_spark.operators.sampling import stratified_hash_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_hash_sample(
+        docs, "lang", {"en": 0.2, "de": 0.6}, default_rate=1.0,
+        key_cols=["doc_id"], salt="s7",
+    ).select("doc_id", "lang")
+
+
+def _q_docs_split_counts(spark, sf_dir):
+    """80/10/10 train/val/test assignment by disjoint md5 hash bands keyed
+    on doc_id (split membership is permanent and engine-reproducible — no
+    test-set leakage across re-runs), aggregated to per-split doc counts."""
+    from set_sketch_paper_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    return (
+        hash_split(docs, (0.8, 0.1, 0.1), ["doc_id"], salt="sp1")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _q_video_frame_stats(spark, sf_dir):
     """Genuine concatenated-PGM video streams -> per-sampled-frame decoded
     pixel stats (stride 4).  Rows-only; Spark-vs-numpy parity pinned in
@@ -851,6 +891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "audio_features": _q_audio_features,
         "video_frame_stats": _q_video_frame_stats,
+        "docs_hash_sample": _q_docs_hash_sample,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_split_counts": _q_docs_split_counts,
         "bbit_signatures": _q_bbit_signatures,
         "hmh_joint_pairs": _q_hmh_joint_pairs,
         "training_pipeline_clusters": _q_training_pipeline_clusters,
@@ -1197,6 +1240,32 @@ SELECT n AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY n
                    CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        # deterministic md5-threshold sampling: DuckDB computes the IDENTICAL
+        # membership predicate (md5 + hex string comparison are engine-
+        # portable by construction; thresholds generated by the same helper)
+        "docs_hash_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE md5(concat_ws(chr(31), 's42', CAST(doc_id AS VARCHAR)))
+                  < '{_sampling_thr(0.25)}'
+        """,
+        "docs_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE md5(concat_ws(chr(31), 's7', CAST(doc_id AS VARCHAR))) <
+                  CASE lang WHEN 'en' THEN '{_sampling_thr(0.2)}'
+                            WHEN 'de' THEN '{_sampling_thr(0.6)}'
+                            ELSE '{_sampling_thr(1.0)}' END
+        """,
+        "docs_split_counts": f"""
+            SELECT CASE
+                     WHEN md5(concat_ws(chr(31), 'sp1', CAST(doc_id AS VARCHAR)))
+                          < '{_split_edges((0.8, 0.1, 0.1))[0]}' THEN 0
+                     WHEN md5(concat_ws(chr(31), 'sp1', CAST(doc_id AS VARCHAR)))
+                          < '{_split_edges((0.8, 0.1, 0.1))[1]}' THEN 1
+                     ELSE 2
+                   END AS split,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
         """,
     }
 
