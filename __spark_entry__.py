@@ -119,6 +119,16 @@ def _q_lang_id(spark, sf_dir):
     return with_lang_id(_docs(spark, sf_dir), "text").select("doc_id", "pred_lang")
 
 
+def _q_doc_repetition(spark, sf_dir):
+    from set_sketch_paper_spark.operators.textstats import with_repetition_stats
+
+    return with_repetition_stats(_docs(spark, sf_dir), "text").select(
+        "doc_id",
+        F.col("n_tokens").cast(LongType()).alias("n_tokens"),
+        "dup_token_q", "top_token_q", "dup_bigram_q", "top_bigram_q",
+    )
+
+
 def _q_subtoken_count(spark, sf_dir):
     from set_sketch_paper_spark.operators.textstats import token_count_bpe_ish
 
@@ -377,6 +387,31 @@ def _q_minhash_near_dup_pairs(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return minhash_near_dup_pairs(docs, DOC_PCFG, id_col="doc_id", content_col="text")
+
+
+def _q_incremental_exact_dedup(spark, sf_dir):
+    """New-batch-vs-snapshot exact dedup: even doc_ids play the prior
+    snapshot, odd doc_ids the incoming batch.  Output = surviving new
+    representatives (content unseen in the snapshot, min-id within batch)."""
+    from set_sketch_paper_spark.operators.dedup import exact_dedup_against_snapshot
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return exact_dedup_against_snapshot(new, old, id_col="doc_id", content_col="text")
+
+
+def _q_incremental_near_dup(spark, sf_dir):
+    """New-batch-vs-snapshot near-dup pairs (same parity split): every pair
+    involves at least one odd (new) id — never snapshot-vs-snapshot."""
+    from set_sketch_paper_spark.operators.dedup import near_dup_against_snapshot
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return near_dup_against_snapshot(
+        new, old, DOC_PCFG, id_col="doc_id", content_col="text"
+    )
 
 
 def _q_lsh_candidates(spark, sf_dir):
@@ -844,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_stats": _q_token_stats,
+        "doc_repetition": _q_doc_repetition,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "subtoken_count": _q_subtoken_count,
@@ -870,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch-based (rows-only driver check; accuracy tested in tests/)
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
+        "incremental_exact_dedup": _q_incremental_exact_dedup,
+        "incremental_near_dup": _q_incremental_near_dup,
         "lsh_candidates": _q_lsh_candidates,
         "dup_clusters_minhash": _q_dup_clusters_minhash,
         "ghll_distinct_users": _q_ghll_distinct_users,
@@ -1067,6 +1105,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "token_stats": _TOKEN_STATS_CTE + "SELECT * FROM s",
+        # new-batch (odd ids) vs snapshot (even ids) exact dedup; mirrors
+        # dedup.exact_dedup_against_snapshot (Spark sha2(...,256) == DuckDB
+        # sha256, both lowercase hex)
+        "incremental_exact_dedup": r"""
+        WITH old AS (
+          SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0
+        ), new_rep AS (
+          SELECT sha256(text) AS content_sha, min(doc_id) AS doc_id
+          FROM documents WHERE doc_id % 2 = 1 GROUP BY sha256(text)
+        )
+        SELECT doc_id, content_sha FROM new_rep r
+        WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = r.content_sha)
+        """,
+        # Gopher-style repetition signals; mirrors textstats.with_repetition_stats
+        # (same _q6 quantization; list_max([])->NULL coalesced to 0 in both engines)
+        "doc_repetition": r"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), b AS (
+          SELECT doc_id, toks,
+                 len(toks) AS n,
+                 len(list_distinct(toks)) AS nd,
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+          FROM t
+        ), m AS (
+          SELECT doc_id, n, nd,
+                 len(bigrams) AS nb,
+                 len(list_distinct(bigrams)) AS nbd,
+                 coalesce(list_max(list_transform(list_distinct(toks),
+                     tk -> len(list_filter(toks, x -> x = tk)))), 0) AS top_tok,
+                 coalesce(list_max(list_transform(list_distinct(bigrams),
+                     bg -> len(list_filter(bigrams, x -> x = bg)))), 0) AS top_big
+          FROM b
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(floor((2000000 * (n - nd) + n) / (2 * n)) AS BIGINT) AS dup_token_q,
+               CAST(floor((2000000 * top_tok + n) / (2 * n)) AS BIGINT) AS top_token_q,
+               CAST(floor((2000000 * (nb - nbd) + greatest(nb, 1)) / (2 * greatest(nb, 1))) AS BIGINT) AS dup_bigram_q,
+               CAST(floor((2000000 * top_big + greatest(nb, 1)) / (2 * greatest(nb, 1))) AS BIGINT) AS top_bigram_q
+        FROM m
+        """,
         "doc_quality": _TOKEN_STATS_CTE + """
             SELECT doc_id,
                    CAST(floor((

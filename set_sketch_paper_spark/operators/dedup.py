@@ -52,6 +52,92 @@ def exact_dedup(
     )
 
 
+def exact_dedup_against_snapshot(
+    new_df: DataFrame,
+    snapshot_df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Incremental EXACT dedup: a new ingest batch against a prior corpus
+    snapshot.  Returns one representative row (min id) per NEW content group
+    whose sha256 matches nothing in the snapshot: (id_col, content_sha).
+
+    Shape: the snapshot side reduces to DISTINCT content_sha (map-side
+    combinable, single pruned column off the scan — and when the snapshot is
+    stored sha-bucketed, as the pipeline's stage checkpoints are, no shuffle
+    at all); the new side groups by sha (one shuffle sized by the BATCH, not
+    the corpus); survival is one left_anti hash join on the sha.  Per-ingest
+    cost is O(|batch|) + a snapshot column scan, never a corpus re-shuffle —
+    the batch analog of streaming/stream_dedup.py's store anti-join.
+    """
+    old = (
+        with_content_sha(snapshot_df, content_col)
+        .select("content_sha")
+        .distinct()
+    )
+    new_rep = (
+        with_content_sha(new_df, content_col)
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return new_rep.join(old, "content_sha", "left_anti").select(id_col, "content_sha")
+
+
+def near_dup_against_snapshot(
+    new_df: DataFrame,
+    snapshot_df: DataFrame,
+    pcfg: PipelineConfig,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    estimator: str = "original",
+) -> DataFrame:
+    """Incremental NEAR-dup: pairs involving the new batch only (new-vs-
+    snapshot plus new-vs-new), never snapshot-vs-snapshot — the batch analog
+    of streaming/stream_dedup.py::incremental_candidates for large ingests
+    where the new side may not fit a broadcast (plain hash join here; AQE
+    still broadcasts when the batch is small).
+
+    Both sides are MinHash-signed with the same config (at scale the
+    snapshot side reads the persisted signature store instead of
+    recomputing); the snapshot's hot bands (> band_cap members) are dropped
+    via a broadcast anti-join exactly like the streaming path; candidate
+    pairs are verified with the estimator at pcfg.jaccard_threshold.
+    Ids must be disjoint across the two frames (they identify the side).
+    Output: (id1 < id2, est_jaccard, ...) as in minhash_near_dup_pairs.
+    """
+    new_signed = with_minhash_signature(
+        new_df.select(id_col, content_col), pcfg, content_col
+    ).select(id_col, "sig", "bands", "n_shingles")
+    old_signed = with_minhash_signature(
+        snapshot_df.select(id_col, content_col), pcfg, content_col
+    ).select(id_col, "sig", "bands", "n_shingles")
+
+    nb = lsh_ops.explode_bands(new_signed, id_col).withColumnRenamed("_id", "_new_id")
+    ob = lsh_ops.explode_bands(old_signed, id_col).withColumnRenamed("_id", "_old_id")
+    hot = (
+        ob.groupBy("band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > pcfg.lsh.band_cap)
+        .select("band_hash")
+    )
+    ob_ok = ob.join(F.broadcast(hot), ["band_hash"], "left_anti")
+    cross = (
+        ob_ok.join(nb, ["band_hash"])
+        .filter(F.col("_old_id") != F.col("_new_id"))
+        .select(
+            F.least("_old_id", "_new_id").alias("id1"),
+            F.greatest("_old_id", "_new_id").alias("id2"),
+        )
+    )
+    within = lsh_ops.candidate_pairs(new_signed, pcfg.lsh, id_col=id_col)
+    pairs = cross.union(within.select("id1", "id2")).dropDuplicates(["id1", "id2"])
+    est_udf = make_minhash_pair_estimator_udf(pcfg.minhash, estimator)
+    return lsh_ops.verified_pairs(
+        pairs, new_signed.unionByName(old_signed), est_udf,
+        pcfg.jaccard_threshold, id_col=id_col,
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     pcfg: PipelineConfig,

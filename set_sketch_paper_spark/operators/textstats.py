@@ -97,6 +97,64 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, the
+    standard LLM-corpus repetition filters), token-level:
+
+    - ``dup_token_q``   — fraction of token occurrences that are repeats
+      (1 - distinct/total), quantized.
+    - ``top_token_q``   — coverage of the single most frequent token.
+    - ``dup_bigram_q``  — fraction of bigram occurrences that are repeats.
+    - ``top_bigram_q``  — coverage of the most frequent bigram.
+
+    High values flag boilerplate / template / spam documents that survive
+    exact and near dedup (they repeat *internally*, not across docs).
+
+    All pure built-in array expressions (whole-stage codegen, zero Python,
+    zero shuffles — per-row bounded compute, embarrassingly parallel at any
+    scale).  The per-row cost of the top-frequency terms is
+    O(distinct × n_tokens); documents are bounded (chunk upstream if not).
+    Quantization via _q6 keeps results bit-equal to the DuckDB oracle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    # bigram i joins token i and i+1 (element_at is 1-based; transform's
+    # lambda index is 0-based)
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+    nb = F.size(bigrams)
+    nb_distinct = F.size(F.array_distinct(bigrams))
+    top_tok = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ),
+        F.lit(0),
+    )
+    top_big = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda t: F.size(F.filter(bigrams, lambda x: x == t)),
+            )
+        ),
+        F.lit(0),
+    )
+    nb_safe = F.greatest(nb, F.lit(1))
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("dup_token_q", _q6(n - n_distinct, n))
+        .withColumn("top_token_q", _q6(top_tok, n))
+        .withColumn("dup_bigram_q", _q6(nb - nb_distinct, nb_safe))
+        .withColumn("top_bigram_q", _q6(top_big, nb_safe))
+    )
+
+
 def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Sub-word-ish token count: alphanumeric runs and individual
     punctuation both count (a cheap stand-in for BPE token counting; the

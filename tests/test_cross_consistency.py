@@ -286,3 +286,39 @@ def test_simhash_pairs_are_exact_near_dups(q, spark, exact_jaccard):
     for p, h in sh:
         assert p in exact_jaccard, (p, h)
         assert exact_jaccard[p] >= 0.9, (p, h, exact_jaccard[p])
+
+
+def test_incremental_near_dup_matches_full_pair_set(q, spark):
+    """incremental_near_dup (odd ids = new batch, even = snapshot) vs the
+    full-corpus minhash_near_dup_pairs under the SAME config: the
+    incremental path must produce EXACTLY the full pair set restricted to
+    pairs involving at least one new id, with bit-equal estimates — the
+    batch-vs-corpus factorization loses nothing and invents nothing."""
+    inc = {
+        (r["id1"], r["id2"]): r["est_jaccard"]
+        for r in q["incremental_near_dup"](spark, SF_DIR).collect()
+    }
+    full = {
+        (r["id1"], r["id2"]): r["est_jaccard"]
+        for r in q["minhash_near_dup_pairs"](spark, SF_DIR).collect()
+    }
+    want = {p: j for p, j in full.items() if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert len(want) >= 5
+    assert set(inc) == set(want), (
+        sorted(set(want) - set(inc))[:5], sorted(set(inc) - set(want))[:5]
+    )
+    for p in want:
+        assert inc[p] == want[p], (p, inc[p], want[p])
+
+
+def test_incremental_exact_dedup_complements_snapshot(q, spark):
+    """Survivors of incremental_exact_dedup + new docs whose text already
+    exists in the snapshot partition the whole new batch (by group)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    docs = em._docs(spark, SF_DIR)
+    new_texts = {r["text"] for r in docs.filter(F.col("doc_id") % 2 == 1).collect()}
+    old_texts = {r["text"] for r in docs.filter(F.col("doc_id") % 2 == 0).collect()}
+    surv = q["incremental_exact_dedup"](spark, SF_DIR).count()
+    assert surv == len(new_texts - old_texts)
