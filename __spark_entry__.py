@@ -491,6 +491,16 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return hyperplane_ann_topk(emb, k=5, n_bits=6, n_tables=6)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN top-k — the cell-partitioned scale path next
+    to hyperplane LSH; rows-only (recall + exhaustive-probe equivalence
+    gated in tests/test_similarity.py and test_cross_consistency.py)."""
+    from set_sketch_paper_spark.operators.similarity import ivf_ann_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, k=5, n_cells=16, n_probe=8)
+
+
 def _q_minhash_est_cardinality(spark, sf_dir):
     """MinHash cardinality estimator (sketch.hpp:1383-1389) per document,
     rows-only (estimate, no exact SQL twin)."""
@@ -916,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "winnow_substring_pairs": _q_winnow_substring_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup_pairs_ann": _q_embedding_near_dup_pairs_ann,
         "embedding_near_dup_clusters_ann": _q_embedding_near_dup_clusters_ann,
         "minhash_est_cardinality": _q_minhash_est_cardinality,

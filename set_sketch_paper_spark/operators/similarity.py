@@ -193,6 +193,134 @@ def hyperplane_ann_topk(
     )
 
 
+def _ivf_cells(base: DataFrame, n_cells: int, seed: int):
+    """Deterministic IVF coarse quantizer: ``n_cells`` seed vectors chosen
+    by hash order (the vectors with the smallest xxhash64(id, seed) — a
+    uniform pseudo-random but fully deterministic draw), packed into ONE
+    broadcastable row ``(cents: array<struct<cell,cv,cn>>)``.
+
+    No driver-side collect: the centroid list rides a broadcast single-row
+    crossJoin, so per-row cell scoring is pure map-side JVM expression work
+    (the same pattern as broadcasting a dim table, collapsed to one row).
+    A k-means refinement is deliberately omitted: hash-seeded cells keep
+    every number an exact integer expression (deterministic across runs and
+    engines), and recall is governed by n_probe, which is cheaper to raise
+    than Lloyd rounds are to run at corpus scale.
+    """
+    # orderBy().limit() compiles to TakeOrderedAndProject (per-partition
+    # top-n, no global sort shuffle); the row_number window then runs over
+    # the n_cells-row result only, never the corpus
+    small = (
+        base.select(
+            F.xxhash64(F.col("_id"), F.lit(seed)).alias("_h"), "_id", "qv", "norm"
+        )
+        .orderBy("_h", "_id")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("_h", "_id")
+    seeds = small.select(
+        (F.row_number().over(w) - 1).alias("cell"),
+        F.col("qv").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    return seeds.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cell", "cv", "cn"))
+        ).alias("cents")
+    )
+
+
+def _ivf_ranked_cells(df: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """Attach ``_cells``: this row's cell ids ranked by centroid cosine
+    (desc, cell-id asc tie-break) — map-side only, one nested JVM
+    expression per row over the broadcast centroid list."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            (-_cos_q(_dot(F.col("qv"), c["cv"]), F.col("norm"), c["cn"])).alias("negs"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(cents_row))
+        .withColumn(
+            "_cells",
+            F.transform(F.array_sort(scored), lambda s: s["cell"]),
+        )
+        .drop("cents")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0xA_2141,
+    cell_cap: int = 100_000,
+) -> DataFrame:
+    """Approximate top-k cosine via an IVF (inverted-file) coarse quantizer
+    — the cell-partitioned ANN scale path next to ``hyperplane_ann_topk``.
+
+    Every vector is assigned to its nearest of ``n_cells`` hash-seeded
+    centroids (map-side, no shuffle); a query probes its ``n_probe``
+    nearest cells and exact integer-quantized cosine re-ranks the members.
+    Candidate generation is ONE equi-join on the cell id — the inverted
+    file IS the partitioning, so at cluster scale the corpus is stored
+    bucketed by cell and probing reads only n_probe/n_cells of the data.
+    Size n_cells ~ sqrt(|corpus|) and cap degenerate cells with
+    ``cell_cap`` (same skew guard as the LSH band_cap).  Scoring shares
+    _cos_q with the exact path, so hits are bit-equal to brute force;
+    recall vs brute force is gated in tests/test_similarity.py.
+    Output: (query_id, neighbor_id, rank, cos_q).
+    """
+    base = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("qv", _quantized(F.col("_v")))
+        .withColumn("norm", _dot(F.col("qv"), F.col("qv")))
+        .drop("_v")
+        # evaluated once for seeds + assignment + scoring; ContextCleaner
+        # frees the blocks when unreachable (same rationale as _coded)
+        .localCheckpoint(eager=True)
+    )
+    cents_row = _ivf_cells(base, n_cells, seed)
+    ranked = _ivf_ranked_cells(base, cents_row)
+
+    members = ranked.select(
+        F.col("_id").alias("neighbor_id"), F.element_at("_cells", 1).alias("cell")
+    )
+    sizes = members.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
+    members_ok = (
+        members.join(F.broadcast(sizes), "cell")
+        .filter(F.col("_csz") <= cell_cap)
+        .drop("_csz")
+    )
+    probes = ranked.select(
+        F.col("_id").alias("query_id"),
+        F.explode(F.slice("_cells", 1, n_probe)).alias("cell"),
+    )
+    cand = (
+        probes.join(members_ok, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    vecs = base.select("_id", "qv", "norm")
+    scored = (
+        _join_vectors(cand, vecs, "query_id", "neighbor_id")
+        .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
+        .withColumn("cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_q")
+    )
+
+
 def cosine_near_dup_pairs_ann(
     corpus: DataFrame,
     threshold_q: int = 990_000,

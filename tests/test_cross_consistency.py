@@ -322,3 +322,27 @@ def test_incremental_exact_dedup_complements_snapshot(q, spark):
     old_texts = {r["text"] for r in docs.filter(F.col("doc_id") % 2 == 0).collect()}
     surv = q["incremental_exact_dedup"](spark, SF_DIR).count()
     assert surv == len(new_texts - old_texts)
+
+
+def test_ivf_topk_subset_of_exact_with_bitequal_scores(q, spark):
+    """ann_ivf_topk vs the oracle-green brute-force twin on the sf0.01
+    embeddings: every IVF hit for the exact twin's query subset carries a
+    bit-equal cos_q (shared scoring expression), and recall over the twin's
+    true top-k is high at n_probe=8/16."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_q"]
+        for r in q["ann_topk"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["cos_q"]
+        for r in q["ann_ivf_topk"](spark, SF_DIR).collect()
+    }
+    qids = {p[0] for p in exact}
+    # ann_topk is k=10 over vec_id<32 queries; ann_ivf_topk is k=5 over all
+    truth5 = {p for p, _ in exact.items()}  # top-10 superset of top-5
+    shared = {p for p in ivf if p[0] in qids}
+    hits = {p for p in shared if p in truth5}
+    for p in hits:
+        assert ivf[p] == exact[p], p
+    assert len(shared) >= 50
+    assert len(hits) / len(shared) >= 0.9, (len(hits), len(shared))

@@ -100,3 +100,63 @@ def test_label_centroids_exact(emb_df):
         sums = mat.sum(axis=0)
         for pos in range(mat.shape[1]):
             assert got[(int(label), pos)] == (int(sums[pos]), len(grp))
+
+
+def test_ivf_recall_vs_bruteforce(emb_df):
+    """IVF coarse quantizer on clustered data: probing a quarter of the
+    cells recovers most true neighbors (near neighbors co-assign whp)."""
+    from set_sketch_paper_spark.operators.similarity import ivf_ann_topk
+
+    k = 5
+    exact = cosine_topk_bruteforce(emb_df, k=k).collect()
+    approx = ivf_ann_topk(emb_df, k=k, n_cells=16, n_probe=4).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, recall
+    # and scores on found pairs are bit-equal (shared _cos_q expression)
+    ex = {
+        (r["query_id"], r["neighbor_id"]): r["cos_q"] for r in exact
+    }
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert r["cos_q"] == ex[key], key
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(emb_df):
+    """n_probe == n_cells probes every cell, so IVF must return EXACTLY the
+    brute-force top-k (same _cos_q scores, same deterministic tie-break) —
+    the strongest equivalence gate on the candidate machinery."""
+    from set_sketch_paper_spark.operators.similarity import ivf_ann_topk
+
+    k = 5
+    exact = sorted(
+        tuple(r) for r in cosine_topk_bruteforce(emb_df, k=k)
+        .select("query_id", "neighbor_id", "rank", "cos_q").collect()
+    )
+    full = sorted(
+        tuple(r) for r in ivf_ann_topk(emb_df, k=k, n_cells=8, n_probe=8)
+        .select("query_id", "neighbor_id", "rank", "cos_q").collect()
+    )
+    assert exact == full
+
+
+def test_ivf_recall_monotone_in_probes(emb_df):
+    """More probed cells never lose neighbors: recall is monotone in
+    n_probe (candidate sets are nested by construction)."""
+    from set_sketch_paper_spark.operators.similarity import ivf_ann_topk
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb_df, k=5).collect()
+    }
+    recalls = []
+    for npb in (1, 4, 16):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_ann_topk(emb_df, k=5, n_cells=16, n_probe=npb).collect()
+        }
+        recalls.append(len(truth & got) / len(truth))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
