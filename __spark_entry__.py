@@ -498,7 +498,9 @@ def _q_ann_ivf_topk(spark, sf_dir):
     from set_sketch_paper_spark.operators.similarity import ivf_ann_topk
 
     emb = _tbl(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(emb, k=5, n_cells=16, n_probe=8)
+    return ivf_ann_topk(
+        emb, k=5, n_cells=16, n_probe=8, queries=emb.filter(F.col("vec_id") < 32)
+    )
 
 
 def _q_minhash_est_cardinality(spark, sf_dir):

@@ -53,6 +53,9 @@ HEADLINE = [
     "simhash_pairs",
     "ann_topk",               # brute-force cosine top-k
     "ann_lsh_topk",           # hyperplane-LSH ANN
+    "ann_ivf_topk",           # IVF cell-partitioned ANN
+    "incremental_near_dup",   # new-batch vs snapshot band join
+    "doc_repetition",         # Gopher-style repetition signals
     "token_stats",            # text-quality analysis
     "lang_id",
     "audio_features",         # WAV decode + spectral features (mapInPandas)

@@ -260,9 +260,14 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     seed: int = 0xA_2141,
     cell_cap: int = 100_000,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via an IVF (inverted-file) coarse quantizer
     — the cell-partitioned ANN scale path next to ``hyperplane_ann_topk``.
+
+    ``queries`` restricts the probe side to a subset of corpus ids (the
+    production query-vs-corpus shape: the inverted file over the big corpus
+    is probed by a much smaller query set); None = every vector queries.
 
     Every vector is assigned to its nearest of ``n_cells`` hash-seeded
     centroids (map-side, no shuffle); a query probes its ``n_probe``
@@ -297,7 +302,11 @@ def ivf_ann_topk(
         .filter(F.col("_csz") <= cell_cap)
         .drop("_csz")
     )
-    probes = ranked.select(
+    probe_src = ranked
+    if queries is not None:
+        qids = queries.select(F.col(id_col).alias("_id"))
+        probe_src = ranked.join(qids, "_id", "semi")
+    probes = probe_src.select(
         F.col("_id").alias("query_id"),
         F.explode(F.slice("_cells", 1, n_probe)).alias("cell"),
     )

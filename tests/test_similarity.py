@@ -160,3 +160,26 @@ def test_ivf_recall_monotone_in_probes(emb_df):
         recalls.append(len(truth & got) / len(truth))
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] == 1.0, recalls
+
+
+def test_ivf_queries_param_matches_filtered_full_run(emb_df):
+    """Restricting the probe side via ``queries`` returns exactly the
+    unrestricted run's rows for those query ids (probe restriction changes
+    WHO asks, never the answers)."""
+    from set_sketch_paper_spark.operators.similarity import ivf_ann_topk
+
+    full = [
+        tuple(r)
+        for r in ivf_ann_topk(emb_df, k=5, n_cells=16, n_probe=4)
+        .filter(F.col("query_id") < 40)
+        .select("query_id", "neighbor_id", "rank", "cos_q").collect()
+    ]
+    sub = [
+        tuple(r)
+        for r in ivf_ann_topk(
+            emb_df, k=5, n_cells=16, n_probe=4,
+            queries=emb_df.filter(F.col("vec_id") < 40),
+        )
+        .select("query_id", "neighbor_id", "rank", "cos_q").collect()
+    ]
+    assert sorted(full) == sorted(sub)
