@@ -129,6 +129,26 @@ def _q_doc_repetition(spark, sf_dir):
     )
 
 
+def _q_doc_chunks(spark, sf_dir):
+    from set_sketch_paper_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=24, overlap=8
+    )
+
+
+def _q_decontaminate_docs(spark, sf_dir):
+    """n-gram-overlap decontamination: every 100th doc plays the eval/
+    benchmark probe set; the rest of the corpus is flagged when it shares
+    any 5-gram with a probe."""
+    from set_sketch_paper_spark.operators.chunking import flag_contaminated
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 100 == 0)
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    return flag_contaminated(corpus, probes, k=5, text_col="text")
+
+
 def _q_subtoken_count(spark, sf_dir):
     from set_sketch_paper_spark.operators.textstats import token_count_bpe_ish
 
@@ -892,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_stats": _q_token_stats,
         "doc_repetition": _q_doc_repetition,
+        "doc_chunks": _q_doc_chunks,
+        "decontaminate_docs": _q_decontaminate_docs,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "subtoken_count": _q_subtoken_count,
@@ -1130,6 +1152,41 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, content_sha FROM new_rep r
         WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = r.content_sha)
+        """,
+        # token-window chunking; mirrors chunking.chunk_documents
+        # (chunk_tokens=24, overlap=8, stride=16; chunk_idx = start // stride
+        # since the start filter only drops trailing starts)
+        "doc_chunks": r"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), u AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 CAST(unnest(list_filter(range(0, len(toks), 16),
+                      s -> s = 0 OR s < len(toks) - 8)) AS BIGINT) AS s
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(s // 16 AS BIGINT) AS chunk_idx,
+               array_to_string(toks[s+1 : s+24], ' ') AS chunk_text,
+               CAST(least(n - s, 24) AS BIGINT) AS n_chunk_tokens
+        FROM u
+        """,
+        # 5-gram eval-set decontamination; mirrors chunking.flag_contaminated
+        "decontaminate_docs": r"""
+        WITH g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(CASE WHEN len(toks) >= 5 THEN
+                   list_transform(range(1, len(toks) - 3),
+                                  i -> array_to_string(toks[i : i+4], ' '))
+                 ELSE [array_to_string(toks, ' ')] END)) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        ), pg AS (
+          SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0
+        )
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hit_grams
+        FROM g JOIN pg USING (gram)
+        WHERE g.doc_id % 100 != 0
+        GROUP BY g.doc_id
         """,
         # Gopher-style repetition signals; mirrors textstats.with_repetition_stats
         # (same _q6 quantization; list_max([])->NULL coalesced to 0 in both engines)

@@ -1,0 +1,117 @@
+"""Document chunking and eval-set decontamination — the two remaining
+standard LLM-corpus preparation steps alongside dedup/quality/sampling.
+
+Both are pure built-in column expressions (whole-stage codegen, zero
+Python) with exact integer/string outputs, so each query hash-matches a
+DuckDB oracle.
+
+Chunking: fixed-size token windows with overlap — the shape every training
+tokenizer consumes.  Per-row work is bounded by the document length; the
+explode multiplies rows by ~n_tokens/stride but each output row is narrow,
+and no shuffle is introduced (chunking is map-side; downstream writers
+repartition on their own keys).
+
+Decontamination: flag corpus documents sharing any k-gram with an eval/
+benchmark probe set (the standard n-gram-overlap decontamination rule,
+e.g. GPT-3 appendix C / PaLM §7).  The probe gram set is tiny relative to
+the corpus (eval suites are ~10^5-10^6 grams), so the membership check is
+a BROADCAST semi-join against the corpus gram stream — the corpus is
+scanned once, never shuffled; only per-doc hit counts aggregate (map-side
+combinable, id-keyed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_tokens`` with
+    ``overlap`` tokens shared between consecutive chunks.
+
+    Starts run 0, stride, 2*stride, ... (stride = chunk_tokens - overlap);
+    a tail start is emitted only when it contributes unseen tokens
+    (s == 0 or s < n - overlap), so every token appears in >= 1 chunk and
+    no chunk is a suffix of the previous one.  Output: (id, chunk_idx,
+    chunk_text, n_chunk_tokens), deterministic.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s < n - overlap),
+    )
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "_s"),
+        toks.alias("_t"),
+    )
+    return chunked.select(
+        id_col,
+        F.col("chunk_idx").cast(LongType()).alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("_t", F.col("_s") + 1, chunk_tokens)).alias("chunk_text"),
+        F.least(F.size("_t") - F.col("_s"), F.lit(chunk_tokens))
+        .cast(LongType())
+        .alias("n_chunk_tokens"),
+    )
+
+
+def _gram_stream(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
+    """(_id, gram) distinct token k-grams per doc — same construction as
+    dedup.ngram_jaccard_pairs (docs shorter than k contribute their whole
+    token string)."""
+    toks = df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("t"))
+    return toks.select(
+        "_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("t") >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - k),
+                        lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+                    ),
+                ).otherwise(F.array(F.concat_ws(" ", F.col("t"))))
+            )
+        ).alias("gram"),
+    )
+
+
+def flag_contaminated(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str | None = None,
+) -> DataFrame:
+    """Documents sharing >= 1 token ``k``-gram with the probe (eval) set:
+    (id, hit_grams = distinct shared grams).  Corpus docs that ARE probes
+    should be excluded by the caller (the id spaces need not even match).
+
+    The probe side collapses to DISTINCT grams and broadcasts; the corpus
+    gram stream is map-side generated and semi-joined without a shuffle —
+    only the per-doc hit count aggregates.  At 100 TB the corpus side is
+    the whole training set and the probe side stays eval-suite-sized, so
+    the broadcast never inverts.
+    """
+    probe_text = probe_text_col or text_col
+    probe_grams = (
+        _gram_stream(probes, k, id_col, probe_text).select("gram").distinct()
+    )
+    corpus_grams = _gram_stream(corpus, k, id_col, text_col)
+    hits = corpus_grams.join(F.broadcast(probe_grams), "gram")
+    return (
+        hits.groupBy(F.col("_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("hit_grams"))
+    )
