@@ -118,3 +118,37 @@ def test_modality_feature_paths_are_narrow(spark):
         assert "Exchange" not in plan, (qname, plan[:1500])
         assert plan.count("MapInPandas") == 2, (qname, plan.count("MapInPandas"))
         # (2 = the synthetic-asset generator + the feature extractor)
+
+
+def test_incremental_near_dup_no_cartesian(spark):
+    """Batch-vs-snapshot near-dup joins only on band_hash / id keys."""
+    plan = _plan(entrymod.queries()["incremental_near_dup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_map_only_text_operators_have_no_exchange(spark):
+    """doc_repetition and doc_chunks are pure per-row transforms: their
+    plans must contain ZERO shuffles (an Exchange here means a refactor
+    broke the embarrassingly-parallel property)."""
+    q = entrymod.queries()
+    for name in ("doc_repetition", "doc_chunks"):
+        plan = _plan(q[name](spark, SF_DIR))
+        assert "Exchange" not in plan, (name, plan[:1200])
+
+
+def test_decontamination_probe_side_broadcasts(spark):
+    """flag_contaminated: the probe gram set must broadcast; the corpus
+    gram stream is map-side and must never sort-merge."""
+    plan = _plan(entrymod.queries()["decontaminate_docs"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_has_no_cartesian_beyond_single_row_centroids(spark):
+    """ann_ivf_topk: candidate generation is an equi-join on the cell id.
+    The only nested-loop joins allowed are the single-row centroid-list
+    broadcasts (build side is one collect_list row by construction)."""
+    plan = _plan(entrymod.queries()["ann_ivf_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
