@@ -137,6 +137,23 @@ def _q_doc_chunks(spark, sf_dir):
     )
 
 
+def _q_packed_sequences(spark, sf_dir):
+    """Chunk the corpus, then pack chunks into 64-token training sequences
+    in 8 deterministic doc-hash buckets (GPT-style concat-and-cut)."""
+    from set_sketch_paper_spark.operators.chunking import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(_docs(spark, sf_dir), chunk_tokens=24, overlap=8)
+    return pack_chunks(chunks, seq_tokens=64, n_buckets=8)
+
+
+def _q_pii_redaction(spark, sf_dir):
+    from set_sketch_paper_spark.operators.textstats import with_pii_redacted
+
+    return with_pii_redacted(_docs(spark, sf_dir), "text").select(
+        "doc_id", "n_email", "n_ipv4", "n_id_number", "redacted"
+    )
+
+
 def _q_decontaminate_docs(spark, sf_dir):
     """n-gram-overlap decontamination: every 100th doc plays the eval/
     benchmark probe set; the rest of the corpus is flagged when it shares
@@ -913,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "doc_repetition": _q_doc_repetition,
         "doc_chunks": _q_doc_chunks,
+        "packed_sequences": _q_packed_sequences,
+        "pii_redaction": _q_pii_redaction,
         "decontaminate_docs": _q_decontaminate_docs,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
@@ -1170,6 +1189,51 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(toks[s+1 : s+24], ' ') AS chunk_text,
                CAST(least(n - s, 24) AS BIGINT) AS n_chunk_tokens
         FROM u
+        """,
+        # chunk -> 64-token sequence packing in 8 doc-hash buckets; mirrors
+        # chunking.pack_chunks over chunk_documents(24, 8)
+        "packed_sequences": r"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), u AS (
+          SELECT doc_id, len(toks) AS n,
+                 CAST(unnest(list_filter(range(0, len(toks), 16),
+                      s -> s = 0 OR s < len(toks) - 8)) AS BIGINT) AS s
+          FROM t
+        ), c AS (
+          SELECT doc_id,
+                 CAST(s // 16 AS BIGINT) AS chunk_idx,
+                 CAST(least(n - s, 24) AS BIGINT) AS n_chunk_tokens
+          FROM u
+        ), p AS (
+          SELECT CAST(doc_id % 8 AS BIGINT) AS bucket, doc_id, chunk_idx,
+                 n_chunk_tokens,
+                 CAST(coalesce(sum(n_chunk_tokens) OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS offset_tokens
+          FROM c
+        )
+        SELECT bucket, CAST(offset_tokens // 64 AS BIGINT) AS seq_idx,
+               doc_id, chunk_idx, n_chunk_tokens, offset_tokens
+        FROM p
+        """,
+        # PII scrub; mirrors textstats.with_pii_redacted (patterns chosen to
+        # match identically under Java regex and RE2; counts on original
+        # text, replacements sequential)
+        "pii_redaction": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_id_number,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                 '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g') AS redacted
+        FROM documents
         """,
         # 5-gram eval-set decontamination; mirrors chunking.flag_contaminated
         "decontaminate_docs": r"""

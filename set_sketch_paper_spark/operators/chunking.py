@@ -22,7 +22,7 @@ combinable, id-keyed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 
@@ -63,6 +63,54 @@ def chunk_documents(
         F.least(F.size("_t") - F.col("_s"), F.lit(chunk_tokens))
         .cast(LongType())
         .alias("n_chunk_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    seq_tokens: int = 64,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tok_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Assign chunks to fixed-token training sequences (GPT-style
+    concat-and-cut packing), deterministically and in parallel.
+
+    A single global greedy pack is inherently sequential, so docs hash into
+    ``n_buckets`` independent streams (bucket = id % n_buckets) and each
+    bucket packs its chunks in (id, chunk_idx) order by running token
+    offset: a chunk starts at ``offset_tokens`` = cumulative tokens before
+    it in its bucket and belongs to sequence floor(offset / seq_tokens)
+    (sequences are cut mid-chunk exactly like document-concat pretraining
+    pipelines cut mid-document).  ONE window shuffle keyed on the bucket;
+    sequences never cross buckets, so executors pack buckets independently
+    — size n_buckets to the cluster's parallelism (the assignment is a
+    pure function of (ids, token counts, n_buckets), reproducible across
+    layouts and engines).
+
+    Output: (bucket, seq_idx, id, chunk_idx, n_chunk_tokens,
+    offset_tokens) — offset_tokens is the chunk's start offset within its
+    bucket stream, all exact integers (oracle-expressible as a standard
+    SQL window sum).
+    """
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum(tok_col).over(w), F.lit(0))
+    return (
+        chunks.withColumn("bucket", (F.col(id_col) % n_buckets).cast(LongType()))
+        .withColumn("offset_tokens", pre.cast(LongType()))
+        .select(
+            "bucket",
+            F.floor(F.col("offset_tokens") / seq_tokens).cast(LongType()).alias("seq_idx"),
+            id_col,
+            idx_col,
+            tok_col,
+            "offset_tokens",
+        )
     )
 
 

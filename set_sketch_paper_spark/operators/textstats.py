@@ -155,6 +155,38 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# (name, pattern, replacement) applied in order.  Patterns restricted to
+# constructs Java regex (Spark) and RE2 (DuckDB/Trino) match IDENTICALLY —
+# explicit character classes, bounded repetition, no backtracking-dependent
+# alternation — so redaction output hash-matches a SQL oracle.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("id_number", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
+]
+
+
+def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing (the C4/CCNet-style pre-training hygiene pass):
+    replace emails, IPv4 addresses and SSN-shaped id numbers with typed
+    placeholders and count matches per doc.
+
+    Pure ``regexp_replace`` / ``regexp_count`` column expressions — narrow,
+    zero shuffle, whole-stage codegen.  Counts are taken on the ORIGINAL
+    text; replacements apply in PII_PATTERNS order on a running column.
+    Output adds: redacted (string), n_email / n_ipv4 / n_id_number (long).
+    """
+    red = F.col(text_col)
+    out = df
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast(LongType()),
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn("redacted", red)
+
+
 def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Sub-word-ish token count: alphanumeric runs and individual
     punctuation both count (a cheap stand-in for BPE token counting; the

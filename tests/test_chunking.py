@@ -73,3 +73,48 @@ def test_flag_contaminated_counts_shared_distinct_grams(spark):
     }
     # probe grams: 'a b c d e', 'b c d e f'
     assert got == {1: 2, 3: 1}
+
+
+def test_pack_chunks_offsets_contiguous_per_bucket(spark):
+    from set_sketch_paper_spark.operators.chunking import pack_chunks
+
+    rows = [(d, i, 10 + (d + i) % 7) for d in range(20) for i in range((d % 3) + 1)]
+    chunks = spark.createDataFrame(rows, ["doc_id", "chunk_idx", "n_chunk_tokens"])
+    out = (
+        pack_chunks(chunks, seq_tokens=32, n_buckets=4)
+        .orderBy("bucket", "doc_id", "chunk_idx")
+        .collect()
+    )
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    for b, rs in by_bucket.items():
+        off = 0
+        for r in rs:
+            assert r["bucket"] == r["doc_id"] % 4
+            assert r["offset_tokens"] == off          # stream is gap-free
+            assert r["seq_idx"] == off // 32          # concat-and-cut rule
+            off += r["n_chunk_tokens"]
+        # seq_idx non-decreasing within the bucket stream
+        seqs = [r["seq_idx"] for r in rs]
+        assert seqs == sorted(seqs)
+
+
+def test_pii_redaction_planted(spark):
+    from set_sketch_paper_spark.operators.textstats import with_pii_redacted
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or alice@test.org today"),
+            (2, "server at 192.168.1.1 and id 123-45-6789 leaked"),
+            (3, "clean text with no sensitive content at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in with_pii_redacted(df).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["redacted"] == "contact <EMAIL> or <EMAIL> today"
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_id_number"] == 1
+    assert got[2]["redacted"] == "server at <IP> and id <ID> leaked"
+    assert got[3]["redacted"] == got[3]["text"]
+    assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_id_number"] == 0
