@@ -1,0 +1,99 @@
+"""Property-based codec roundtrips (hypothesis): every encoder/decoder pair
+in operators/multimodal.py must roundtrip ARBITRARY valid arrays
+byte-exactly, not just the fixed fixtures in test_multimodal.py.
+
+Pure-numpy functions only — no Spark session, so hundreds of examples run
+in seconds.  Shapes are bounded small; content is unconstrained bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from set_sketch_paper_spark.operators.multimodal import (
+    decode_image,
+    decode_video,
+    decode_wav,
+    encode_bmp,
+    encode_pgm,
+    encode_ppm,
+    encode_video,
+    encode_wav,
+    to_gray,
+    _resize_nearest,
+)
+
+dims = st.integers(min_value=1, max_value=17)
+
+
+def _arr(draw, h, w, channels=None):
+    shape = (h, w) if channels is None else (h, w, channels)
+    n = int(np.prod(shape))
+    data = draw(st.binary(min_size=n, max_size=n))
+    return np.frombuffer(data, dtype=np.uint8).reshape(shape)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data(), dims, dims)
+def test_pgm_roundtrip(data, h, w):
+    px = _arr(data.draw, h, w)
+    assert np.array_equal(decode_image(encode_pgm(px)), px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data(), dims, dims)
+def test_ppm_roundtrip(data, h, w):
+    rgb = _arr(data.draw, h, w, 3)
+    assert np.array_equal(decode_image(encode_ppm(rgb)), rgb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data(), dims, dims)
+def test_bmp_roundtrip(data, h, w):
+    # BMP rows are 4-byte padded; arbitrary (h, w) exercises every padding
+    rgb = _arr(data.draw, h, w, 3)
+    assert np.array_equal(decode_image(encode_bmp(rgb)), rgb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data(), dims, dims)
+def test_to_gray_rec601_bounds(data, h, w):
+    rgb = _arr(data.draw, h, w, 3)
+    g = to_gray(rgb)
+    assert g.shape == (h, w) and g.dtype == np.uint8
+    lo = rgb.min(axis=2).astype(np.int32)
+    hi = rgb.max(axis=2).astype(np.int32)
+    # integer luma is a convex-ish combination: never outside [min-1, max]
+    assert (g >= lo - 1).all() and (g <= hi).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data(), st.integers(1, 5), dims, dims)
+def test_video_roundtrip(data, n_frames, h, w):
+    frames = np.stack([_arr(data.draw, h, w) for _ in range(n_frames)])
+    assert np.array_equal(decode_video(encode_video(frames)), frames)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(-(2**15), 2**15 - 1), min_size=1, max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip(samples, rate):
+    arr = np.asarray(samples, dtype=np.int16)
+    out, out_rate = decode_wav(encode_wav(arr, rate))
+    assert out_rate == rate
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data(), dims, dims, dims, dims)
+def test_resize_nearest_properties(data, h, w, nh, nw):
+    px = _arr(data.draw, h, w)
+    out = _resize_nearest(px, nw, nh)
+    assert out.shape == (nh, nw)
+    # every output pixel is an input pixel (nearest neighbor never blends)
+    assert set(np.unique(out)) <= set(np.unique(px))
+    # identity resize is exact
+    assert np.array_equal(_resize_nearest(px, w, h), px)
