@@ -771,6 +771,28 @@ def _q_quality_filtered_dedup(spark, sf_dir):
     ).select("doc_id", "quality_q")
 
 
+def _q_training_corpus_build(spark, sf_dir):
+    """End-to-end training-corpus build, fully oracle-backed: quality
+    filter -> exact dedup -> eval-set decontamination -> token-window
+    chunking -> fixed-token sequence packing.  Every stage is the
+    production operator; the DuckDB oracle chains the same CTEs, so the
+    whole pipeline's output hash-matches exactly."""
+    from set_sketch_paper_spark.operators.chunking import (
+        chunk_documents, flag_contaminated, pack_chunks,
+    )
+    from set_sketch_paper_spark.operators.textstats import with_quality_score
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 100 == 0)
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    kept = with_quality_score(corpus, "text").filter(F.col("quality_q") >= 600_000)
+    deduped = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    flagged = flag_contaminated(deduped, probes, k=5).select("doc_id")
+    clean = deduped.join(flagged, "doc_id", "left_anti")
+    chunks = chunk_documents(clean, chunk_tokens=24, overlap=8)
+    return pack_chunks(chunks, seq_tokens=64, n_buckets=8)
+
+
 def _q_supplier_nation_acctbal(spark, sf_dir):
     sup = _tbl(spark, sf_dir, "supplier")
     nation = _tbl(spark, sf_dir, "nation")
@@ -955,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": _q_part_brand_stats,
         "user_sessions": _q_user_sessions,
         "quality_filtered_dedup": _q_quality_filtered_dedup,
+        "training_corpus_build": _q_training_corpus_build,
         "supplier_nation_acctbal": _q_supplier_nation_acctbal,
         # sketch-based (rows-only driver check; accuracy tested in tests/)
         "minhash_signatures": _q_minhash_signatures,
@@ -1189,6 +1212,75 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(toks[s+1 : s+24], ' ') AS chunk_text,
                CAST(least(n - s, 24) AS BIGINT) AS n_chunk_tokens
         FROM u
+        """,
+        # full corpus build: quality >= 0.6 -> exact dedup -> 5-gram
+        # decontamination vs every-100th-doc probes -> chunk(24,8) ->
+        # pack(64, 8 buckets); chains the doc_quality / decontaminate_docs /
+        # doc_chunks / packed_sequences oracle CTEs over the same stages
+        "training_corpus_build": r"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 100 != 0
+        ), st AS (
+          SELECT doc_id, text,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+          FROM base
+        ), q AS (
+          SELECT doc_id, text,
+                 CAST(floor((
+                   (CASE WHEN n_tokens >= 20 THEN 1000000 ELSE n_tokens * 50000 END)
+                   + greatest(0, 1000000 - CAST(floor((2000000 * n_punct + n_chars) / (2 * n_chars)) AS BIGINT) * 4)
+                   + greatest(0, 1000000 - CAST(floor((2000000 * n_digit + n_chars) / (2 * n_chars)) AS BIGINT) * 4)
+                 ) / 3) AS BIGINT) AS quality_q
+          FROM st
+        ), kept AS (
+          SELECT text, min(doc_id) AS doc_id FROM q
+          WHERE quality_q >= 600000 GROUP BY text
+        ), dg AS (
+          SELECT doc_id,
+                 unnest(list_distinct(CASE WHEN len(toks) >= 5 THEN
+                   list_transform(range(1, len(toks) - 3),
+                                  i -> array_to_string(toks[i : i+4], ' '))
+                 ELSE [array_to_string(toks, ' ')] END)) AS gram
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept)
+        ), pg AS (
+          SELECT DISTINCT
+                 unnest(list_distinct(CASE WHEN len(toks) >= 5 THEN
+                   list_transform(range(1, len(toks) - 3),
+                                  i -> array_to_string(toks[i : i+4], ' '))
+                 ELSE [array_to_string(toks, ' ')] END)) AS gram
+          FROM (SELECT string_split(text, ' ') AS toks FROM documents
+                WHERE doc_id % 100 = 0)
+        ), flagged AS (
+          SELECT DISTINCT dg.doc_id FROM dg JOIN pg USING (gram)
+        ), clean AS (
+          SELECT k.doc_id, k.text FROM kept k
+          WHERE k.doc_id NOT IN (SELECT doc_id FROM flagged)
+        ), ct AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM clean
+        ), u AS (
+          SELECT doc_id, len(toks) AS n,
+                 CAST(unnest(list_filter(range(0, len(toks), 16),
+                      s -> s = 0 OR s < len(toks) - 8)) AS BIGINT) AS s
+          FROM ct
+        ), c AS (
+          SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_idx,
+                 CAST(least(n - s, 24) AS BIGINT) AS n_chunk_tokens
+          FROM u
+        ), p AS (
+          SELECT CAST(doc_id % 8 AS BIGINT) AS bucket, doc_id, chunk_idx,
+                 n_chunk_tokens,
+                 CAST(coalesce(sum(n_chunk_tokens) OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS offset_tokens
+          FROM c
+        )
+        SELECT bucket, CAST(offset_tokens // 64 AS BIGINT) AS seq_idx,
+               doc_id, chunk_idx, n_chunk_tokens, offset_tokens
+        FROM p
         """,
         # chunk -> 64-token sequence packing in 8 doc-hash buckets; mirrors
         # chunking.pack_chunks over chunk_documents(24, 8)
