@@ -1036,6 +1036,71 @@ WITH t AS (
 )
 """
 
+# Shared chunk/pack/gram SQL fragments — doc_chunks, packed_sequences,
+# decontaminate_docs and training_corpus_build chain the SAME strings, so a
+# parameter change cannot desynchronize the end-to-end oracle from its
+# per-stage twins.  Parameters are fixed: chunk 24 tokens / overlap 8
+# (stride 16), pack 64 tokens / 8 buckets, gram k=5.
+
+# requires {src}(doc_id, toks); emits u(doc_id, toks, n, s)
+_CHUNK_U_CTE = """
+ u AS (
+   SELECT doc_id, toks, len(toks) AS n,
+          CAST(unnest(list_filter(range(0, len(toks), 16),
+               s -> s = 0 OR s < len(toks) - 8)) AS BIGINT) AS s
+   FROM {src}
+ )"""
+
+_CHUNK_ROWS_SELECT = """
+ SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_idx,
+        array_to_string(toks[s+1 : s+24], ' ') AS chunk_text,
+        CAST(least(n - s, 24) AS BIGINT) AS n_chunk_tokens
+ FROM u"""
+
+_PACK_CTES = """
+ c AS (
+   SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_idx,
+          CAST(least(n - s, 24) AS BIGINT) AS n_chunk_tokens
+   FROM u
+ ), p AS (
+   SELECT CAST(doc_id % 8 AS BIGINT) AS bucket, doc_id, chunk_idx,
+          n_chunk_tokens,
+          CAST(coalesce(sum(n_chunk_tokens) OVER (
+            PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS offset_tokens
+   FROM c
+ )"""
+
+_PACK_SELECT = """
+ SELECT bucket, CAST(offset_tokens // 64 AS BIGINT) AS seq_idx,
+        doc_id, chunk_idx, n_chunk_tokens, offset_tokens
+ FROM p"""
+
+
+def _gram_select(src: str) -> str:
+    """Distinct 5-gram stream (doc_id, gram) over src(doc_id, text) —
+    mirrors chunking._gram_stream (sep=' ')."""
+    return f"""
+   SELECT doc_id,
+          unnest(list_distinct(CASE WHEN len(toks) >= 5 THEN
+            list_transform(range(1, len(toks) - 3),
+                           i -> array_to_string(toks[i : i+4], ' '))
+          ELSE [array_to_string(toks, ' ')] END)) AS gram
+   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src})"""
+
+
+# quality_q over named integer ratio columns; mirrors
+# textstats.with_quality_score (shared by doc_quality + training_corpus_build)
+_QUALITY_Q_SQL = """CAST(floor((
+    (CASE WHEN n_tokens >= 20 THEN 1000000 ELSE n_tokens * 50000 END)
+    + greatest(0, 1000000 - {punct} * 4)
+    + greatest(0, 1000000 - {digit} * 4)
+  ) / 3) AS BIGINT)"""
+
+_PUNCT_Q_SQL = "CAST(floor((2000000 * n_punct + n_chars) / (2 * n_chars)) AS BIGINT)"
+_DIGIT_Q_SQL = "CAST(floor((2000000 * n_digit + n_chars) / (2 * n_chars)) AS BIGINT)"
+
 _NGRAM_CTE = """
 WITH toks AS (
   SELECT doc_id AS _id, string_split(text, ' ') AS t FROM documents
@@ -1198,26 +1263,17 @@ def oracle_sql() -> dict[str, str]:
         # token-window chunking; mirrors chunking.chunk_documents
         # (chunk_tokens=24, overlap=8, stride=16; chunk_idx = start // stride
         # since the start filter only drops trailing starts)
-        "doc_chunks": r"""
-        WITH t AS (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ), u AS (
-          SELECT doc_id, toks, len(toks) AS n,
-                 CAST(unnest(list_filter(range(0, len(toks), 16),
-                      s -> s = 0 OR s < len(toks) - 8)) AS BIGINT) AS s
-          FROM t
-        )
-        SELECT doc_id,
-               CAST(s // 16 AS BIGINT) AS chunk_idx,
-               array_to_string(toks[s+1 : s+24], ' ') AS chunk_text,
-               CAST(least(n - s, 24) AS BIGINT) AS n_chunk_tokens
-        FROM u
-        """,
+        "doc_chunks": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks"
+            " FROM documents),"
+            + _CHUNK_U_CTE.format(src="t") + _CHUNK_ROWS_SELECT
+        ),
         # full corpus build: quality >= 0.6 -> exact dedup -> 5-gram
         # decontamination vs every-100th-doc probes -> chunk(24,8) ->
         # pack(64, 8 buckets); chains the doc_quality / decontaminate_docs /
         # doc_chunks / packed_sequences oracle CTEs over the same stages
-        "training_corpus_build": r"""
+        "training_corpus_build": (
+            r"""
         WITH base AS (
           SELECT doc_id, text FROM documents WHERE doc_id % 100 != 0
         ), st AS (
@@ -1228,31 +1284,23 @@ def oracle_sql() -> dict[str, str]:
                  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
           FROM base
         ), q AS (
-          SELECT doc_id, text,
-                 CAST(floor((
-                   (CASE WHEN n_tokens >= 20 THEN 1000000 ELSE n_tokens * 50000 END)
-                   + greatest(0, 1000000 - CAST(floor((2000000 * n_punct + n_chars) / (2 * n_chars)) AS BIGINT) * 4)
-                   + greatest(0, 1000000 - CAST(floor((2000000 * n_digit + n_chars) / (2 * n_chars)) AS BIGINT) * 4)
-                 ) / 3) AS BIGINT) AS quality_q
+          SELECT doc_id, text, """
+            + _QUALITY_Q_SQL.format(punct=_PUNCT_Q_SQL, digit=_DIGIT_Q_SQL)
+            + """ AS quality_q
           FROM st
         ), kept AS (
           SELECT text, min(doc_id) AS doc_id FROM q
           WHERE quality_q >= 600000 GROUP BY text
-        ), dg AS (
-          SELECT doc_id,
-                 unnest(list_distinct(CASE WHEN len(toks) >= 5 THEN
-                   list_transform(range(1, len(toks) - 3),
-                                  i -> array_to_string(toks[i : i+4], ' '))
-                 ELSE [array_to_string(toks, ' ')] END)) AS gram
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept)
+        ), probes AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0
+        ), dg AS ("""
+            + _gram_select("kept")
+            + """
+        ), pgall AS ("""
+            + _gram_select("probes")
+            + """
         ), pg AS (
-          SELECT DISTINCT
-                 unnest(list_distinct(CASE WHEN len(toks) >= 5 THEN
-                   list_transform(range(1, len(toks) - 3),
-                                  i -> array_to_string(toks[i : i+4], ' '))
-                 ELSE [array_to_string(toks, ' ')] END)) AS gram
-          FROM (SELECT string_split(text, ' ') AS toks FROM documents
-                WHERE doc_id % 100 = 0)
+          SELECT DISTINCT gram FROM pgall
         ), flagged AS (
           SELECT DISTINCT dg.doc_id FROM dg JOIN pg USING (gram)
         ), clean AS (
@@ -1260,56 +1308,18 @@ def oracle_sql() -> dict[str, str]:
           WHERE k.doc_id NOT IN (SELECT doc_id FROM flagged)
         ), ct AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM clean
-        ), u AS (
-          SELECT doc_id, len(toks) AS n,
-                 CAST(unnest(list_filter(range(0, len(toks), 16),
-                      s -> s = 0 OR s < len(toks) - 8)) AS BIGINT) AS s
-          FROM ct
-        ), c AS (
-          SELECT doc_id, CAST(s // 16 AS BIGINT) AS chunk_idx,
-                 CAST(least(n - s, 24) AS BIGINT) AS n_chunk_tokens
-          FROM u
-        ), p AS (
-          SELECT CAST(doc_id % 8 AS BIGINT) AS bucket, doc_id, chunk_idx,
-                 n_chunk_tokens,
-                 CAST(coalesce(sum(n_chunk_tokens) OVER (
-                   PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 AS BIGINT) AS offset_tokens
-          FROM c
-        )
-        SELECT bucket, CAST(offset_tokens // 64 AS BIGINT) AS seq_idx,
-               doc_id, chunk_idx, n_chunk_tokens, offset_tokens
-        FROM p
-        """,
+        ),"""
+            + _CHUNK_U_CTE.format(src="ct") + ","
+            + _PACK_CTES + _PACK_SELECT
+        ),
         # chunk -> 64-token sequence packing in 8 doc-hash buckets; mirrors
         # chunking.pack_chunks over chunk_documents(24, 8)
-        "packed_sequences": r"""
-        WITH t AS (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ), u AS (
-          SELECT doc_id, len(toks) AS n,
-                 CAST(unnest(list_filter(range(0, len(toks), 16),
-                      s -> s = 0 OR s < len(toks) - 8)) AS BIGINT) AS s
-          FROM t
-        ), c AS (
-          SELECT doc_id,
-                 CAST(s // 16 AS BIGINT) AS chunk_idx,
-                 CAST(least(n - s, 24) AS BIGINT) AS n_chunk_tokens
-          FROM u
-        ), p AS (
-          SELECT CAST(doc_id % 8 AS BIGINT) AS bucket, doc_id, chunk_idx,
-                 n_chunk_tokens,
-                 CAST(coalesce(sum(n_chunk_tokens) OVER (
-                   PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 AS BIGINT) AS offset_tokens
-          FROM c
-        )
-        SELECT bucket, CAST(offset_tokens // 64 AS BIGINT) AS seq_idx,
-               doc_id, chunk_idx, n_chunk_tokens, offset_tokens
-        FROM p
-        """,
+        "packed_sequences": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks"
+            " FROM documents),"
+            + _CHUNK_U_CTE.format(src="t") + ","
+            + _PACK_CTES + _PACK_SELECT
+        ),
         # PII scrub; mirrors textstats.with_pii_redacted (patterns chosen to
         # match identically under Java regex and RE2; counts on original
         # text, replacements sequential)
@@ -1328,14 +1338,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         """,
         # 5-gram eval-set decontamination; mirrors chunking.flag_contaminated
-        "decontaminate_docs": r"""
-        WITH g AS (
-          SELECT doc_id,
-                 unnest(list_distinct(CASE WHEN len(toks) >= 5 THEN
-                   list_transform(range(1, len(toks) - 3),
-                                  i -> array_to_string(toks[i : i+4], ' '))
-                 ELSE [array_to_string(toks, ' ')] END)) AS gram
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        "decontaminate_docs": (
+            "WITH g AS (" + _gram_select("documents") + """
         ), pg AS (
           SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0
         )
@@ -1343,7 +1347,8 @@ def oracle_sql() -> dict[str, str]:
         FROM g JOIN pg USING (gram)
         WHERE g.doc_id % 100 != 0
         GROUP BY g.doc_id
-        """,
+        """
+        ),
         # Gopher-style repetition signals; mirrors textstats.with_repetition_stats
         # (same _q6 quantization; list_max([])->NULL coalesced to 0 in both engines)
         "doc_repetition": r"""
@@ -1374,15 +1379,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor((2000000 * top_big + greatest(nb, 1)) / (2 * greatest(nb, 1))) AS BIGINT) AS top_bigram_q
         FROM m
         """,
-        "doc_quality": _TOKEN_STATS_CTE + """
-            SELECT doc_id,
-                   CAST(floor((
-                     (CASE WHEN n_tokens >= 20 THEN 1000000 ELSE n_tokens * 50000 END)
-                     + greatest(0, 1000000 - punct_ratio_q * 4)
-                     + greatest(0, 1000000 - digit_ratio_q * 4)
-                   ) / 3) AS BIGINT) AS quality_q
-            FROM s
-        """,
+        "doc_quality": (
+            _TOKEN_STATS_CTE
+            + " SELECT doc_id, "
+            + _QUALITY_Q_SQL.format(punct="punct_ratio_q", digit="digit_ratio_q")
+            + " AS quality_q FROM s "
+        ),
         "lang_id": _lang_id_sql(),
         "subtoken_count": r"""
             SELECT doc_id,

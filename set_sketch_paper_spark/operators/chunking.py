@@ -45,6 +45,10 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
+    # NULL text contributes no chunks (matching SQL string_split(NULL) ->
+    # unnest of NULL = no rows); without this, size(NULL) = -1 leaks a
+    # (chunk_idx=0, n_chunk_tokens=-1) row that corrupts packing offsets
+    df = df.filter(F.col(text_col).isNotNull())
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     starts = F.filter(
@@ -115,23 +119,18 @@ def pack_chunks(
 
 
 def _gram_stream(df: DataFrame, k: int, id_col: str, text_col: str) -> DataFrame:
-    """(_id, gram) distinct token k-grams per doc — same construction as
-    dedup.ngram_jaccard_pairs (docs shorter than k contribute their whole
-    token string)."""
-    toks = df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("t"))
+    """(_id, gram) distinct token k-grams per doc via the shared
+    dedup.token_kgram_array builder, with sep=' ' — decontamination grams
+    are textual join keys, so they must be collision-free (''-joined grams
+    would merge e.g. ['ab','c'] and ['a','bc']), unlike ngram_jaccard's
+    hashed sep='' shuffle keys.  NULL text contributes no grams."""
+    from .dedup import token_kgram_array
+
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("t")
+    )
     return toks.select(
-        "_id",
-        F.explode(
-            F.array_distinct(
-                F.when(
-                    F.size("t") >= k,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("t") - k),
-                        lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
-                    ),
-                ).otherwise(F.array(F.concat_ws(" ", F.col("t"))))
-            )
-        ).alias("gram"),
+        "_id", F.explode(token_kgram_array(F.col("t"), k, sep=" ")).alias("gram")
     )
 
 

@@ -99,9 +99,17 @@ def near_dup_against_snapshot(
 
     Both sides are MinHash-signed with the same config (at scale the
     snapshot side reads the persisted signature store instead of
-    recomputing); the snapshot's hot bands (> band_cap members) are dropped
-    via a broadcast anti-join exactly like the streaming path; candidate
-    pairs are verified with the estimator at pcfg.jaccard_threshold.
+    recomputing).  Candidate generation buckets BOTH sides together on the
+    band_hash with the full-corpus band_cap on the COMBINED bucket size —
+    bit-identical bucketing to ``minhash_near_dup_pairs``'s drop mode, so
+    the emitted pair set is EXACTLY the full-corpus pair set restricted to
+    pairs involving >= 1 new id (asserted in test_cross_consistency.py);
+    a per-side cap would instead keep bands the full path drops.  Buckets
+    containing no new member — the overwhelming majority under a steady
+    ingest — are skipped BEFORE pair expansion, so expansion work scales
+    with the batch's bucket hits, and snapshot-vs-snapshot structs are
+    filtered inside the expansion expression, never materialized as rows.
+    Candidates are verified with the estimator at pcfg.jaccard_threshold.
     Ids must be disjoint across the two frames (they identify the side).
     Output: (id1 < id2, est_jaccard, ...) as in minhash_near_dup_pairs.
     """
@@ -112,25 +120,36 @@ def near_dup_against_snapshot(
         snapshot_df.select(id_col, content_col), pcfg, content_col
     ).select(id_col, "sig", "bands", "n_shingles")
 
-    nb = lsh_ops.explode_bands(new_signed, id_col).withColumnRenamed("_id", "_new_id")
-    ob = lsh_ops.explode_bands(old_signed, id_col).withColumnRenamed("_id", "_old_id")
-    hot = (
-        ob.groupBy("band_hash")
-        .agg(F.count(F.lit(1)).alias("_bsz"))
-        .filter(F.col("_bsz") > pcfg.lsh.band_cap)
-        .select("band_hash")
-    )
-    ob_ok = ob.join(F.broadcast(hot), ["band_hash"], "left_anti")
-    cross = (
-        ob_ok.join(nb, ["band_hash"])
-        .filter(F.col("_old_id") != F.col("_new_id"))
-        .select(
-            F.least("_old_id", "_new_id").alias("id1"),
-            F.greatest("_old_id", "_new_id").alias("id2"),
+    nb = lsh_ops.explode_bands(new_signed, id_col).withColumn("_nw", F.lit(True))
+    ob = lsh_ops.explode_bands(old_signed, id_col).withColumn("_nw", F.lit(False))
+    buckets = (
+        nb.unionByName(ob)
+        .groupBy("band_hash")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("_id").alias("id"), F.col("_nw").alias("nw"))
+            ).alias("xs")
         )
     )
-    within = lsh_ops.candidate_pairs(new_signed, pcfg.lsh, id_col=id_col)
-    pairs = cross.union(within.select("id1", "id2")).dropDuplicates(["id1", "id2"])
+    ok = buckets.filter(
+        (F.size("xs") >= 2)
+        & (F.size("xs") <= pcfg.lsh.band_cap)
+        & F.exists("xs", lambda x: x["nw"])
+    )
+    pair_expr = F.explode(
+        F.expr(
+            "flatten(transform(xs, (x, i) -> "
+            "filter(transform(slice(xs, i + 2, size(xs)), y -> struct("
+            "least(x.id, y.id) as id1, greatest(x.id, y.id) as id2, "
+            "(x.nw or y.nw) as has_new)), p -> p.has_new)))"
+        )
+    ).alias("p")
+    pairs = (
+        ok.select(pair_expr)
+        .select("p.id1", "p.id2")
+        .filter(F.col("id1") != F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
     est_udf = make_minhash_pair_estimator_udf(pcfg.minhash, estimator)
     return lsh_ops.verified_pairs(
         pairs, new_signed.unionByName(old_signed), est_udf,
@@ -204,6 +223,25 @@ def shared_key_pair_counts(
     return inter
 
 
+def token_kgram_array(t_col, k: int, sep: str = ""):
+    """Distinct token k-gram array expression over a token-array column:
+    sep-joined sliding windows; docs shorter than k contribute their whole
+    token string as one gram.  ``sep=''`` is ngram_jaccard_pairs' variant
+    (grams become a hashed shuffle key, so join-boundary collisions like
+    ['ab','c'] vs ['a','bc'] only ever cost a spurious candidate); textual
+    consumers (decontamination) MUST use a separator that cannot appear in
+    tokens, e.g. ' ', to keep grams collision-free."""
+    return F.array_distinct(
+        F.when(
+            F.size(t_col) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t_col) - k),
+                lambda i: F.concat_ws(sep, F.slice(t_col, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(sep, t_col)))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     k: int = 3,
@@ -237,16 +275,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("t")
     )
     grams = toks.select(
-        "_id",
-        F.array_distinct(
-            F.when(
-                F.size("t") >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - k),
-                    lambda i: F.concat_ws("", F.slice("t", i + 1, k)),
-                ),
-            ).otherwise(F.array(F.concat_ws("", F.col("t"))))
-        ).alias("grams"),
+        "_id", token_kgram_array(F.col("t"), k, sep="").alias("grams")
     )
     sizes = grams.select("_id", F.size("grams").alias("n_grams"))
     # group on the 64-bit gram hash, not the gram string: halves-to-quarters

@@ -310,11 +310,14 @@ def ivf_ann_topk(
         F.col("_id").alias("query_id"),
         F.explode(F.slice("_cells", 1, n_probe)).alias("cell"),
     )
+    # no dedup needed (unlike the multi-table LSH path): each neighbor
+    # belongs to exactly ONE cell and a query's probed cells are distinct,
+    # so the cell equi-join emits every (query, neighbor) at most once —
+    # a dropDuplicates here would be a pointless full-candidate shuffle
     cand = (
         probes.join(members_ok, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     vecs = base.select("_id", "qv", "norm")
     scored = (

@@ -115,8 +115,10 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     scale).  The per-row cost of the top-frequency terms is
     O(distinct × n_tokens); documents are bounded (chunk upstream if not).
     Quantization via _q6 keeps results bit-equal to the DuckDB oracle.
+    NULL text is treated as empty (size(NULL) = -1 would otherwise poison
+    every ratio's denominator).
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     # bigram i joins token i and i+1 (element_at is 1-based; transform's

@@ -95,3 +95,33 @@ def test_repetition_stats_hand_computed(spark, text, expect):
     row = with_repetition_stats(df).collect()[0]
     for k, v in expect.items():
         assert row[k] == v, (k, row[k], v)
+
+
+def test_near_dup_incremental_caps_on_combined_band_size(spark):
+    """A boilerplate band whose COMBINED membership exceeds band_cap must be
+    dropped even when each side alone is under the cap — per-side capping
+    would keep bands the full-corpus path drops and break the
+    incremental == restricted-full factorization (code-review regression).
+    6 identical docs (3 snapshot + 3 new) with band_cap=4: every band
+    bucket has 6 members > 4, so ZERO pairs survive, exactly like
+    minhash_near_dup_pairs on the union."""
+    from set_sketch_paper_spark.config import (
+        LSHConfig, MinHashConfig, PipelineConfig, ShingleConfig,
+    )
+    from set_sketch_paper_spark.operators.dedup import minhash_near_dup_pairs
+
+    pcfg = PipelineConfig(
+        shingle=ShingleConfig(k=3),
+        minhash=MinHashConfig(num_registers=128, algo="oph"),
+        lsh=LSHConfig(num_bands=32, rows_per_band=4, band_cap=4),
+        jaccard_threshold=0.5,
+    )
+    text = "the quick brown fox jumps over the lazy dog again and again ok"
+    old = _docs(spark, [(0, text), (2, text), (4, text)])
+    new = _docs(spark, [(1, text), (3, text), (5, text)])
+    inc = near_dup_against_snapshot(new, old, pcfg).collect()
+    full = minhash_near_dup_pairs(
+        old.unionByName(new), pcfg, id_col="doc_id", content_col="content"
+    ).collect()
+    assert full == []  # combined size 6 > cap 4: full path drops every band
+    assert inc == []   # incremental must agree, not resurrect via 3 <= 4
