@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_ivf_topk",           # IVF cell-partitioned ANN
     "incremental_near_dup",   # new-batch vs snapshot band join
     "doc_repetition",         # Gopher-style repetition signals
+    "training_corpus_build",  # quality->dedup->decontaminate->chunk->pack
     "token_stats",            # text-quality analysis
     "lang_id",
     "audio_features",         # WAV decode + spectral features (mapInPandas)
