@@ -6,15 +6,18 @@ Arrow-batched UDF signatures, fan-out of frame samples) is real and tested,
 and so are the uncompressed codecs: pure-numpy PGM (P5), PPM (P6) and
 24-bit BMP image decode (``decode_backend='auto'`` sniffs the magic bytes)
 and a chunk-walking RIFF PCM WAV audio codec feeding real spectral features
-(rfft periodogram).  Compressed codecs (JPEG/PNG/MP3/...) defer to
-PIL/soundfile when present; this container ships no media libraries, so
-``decode_backend='fake'`` remains available as the deterministic
-hash-seeded stand-in for them.
+(rfft periodogram).  PNG (8-bit gray/RGB, all five scanline filters) is a
+REAL compressed codec here — stdlib zlib for DEFLATE, numpy for
+un-filtering, no media library.  Remaining compressed codecs
+(JPEG/MP3/...) defer to PIL/soundfile when present; this container ships
+no media libraries, so ``decode_backend='fake'`` remains available as the
+deterministic hash-seeded stand-in for them.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -104,9 +107,119 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     return header + dib + data
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 -> PNG (8-bit, non-interlaced,
+    filter 0 rows; DEFLATE via stdlib zlib — a real compressed container
+    with no media library)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type = 0
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type = 2
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    h, w = a.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w) or (h, w, 3) uint8.  Supports 8-bit grayscale and RGB,
+    non-interlaced, ALL five scanline filters (None/Sub/Up/Average/Paeth) —
+    enough to read foreign PNGs of the supported color types, not just this
+    module's own filter-0 output.  Sub is a per-lane cumulative sum; Up is
+    vectorized; Average/Paeth recurrences run per-byte (correctness path —
+    hot corpora should store filter-0/PNM anyway).  Ancillary chunks are
+    skipped; CRCs are not verified (payload integrity is the storage
+    layer's job)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError(f"not a PNG (magic {payload[:8]!r})")
+    off, ihdr, idat = 8, None, []
+    while off + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, off)
+        tag = payload[off + 4:off + 8]
+        body = payload[off + 8:off + 8 + ln]
+        off += 12 + ln
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color_type not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            "only 8-bit gray/RGB non-interlaced PNG supported "
+            f"(depth={depth}, color={color_type}, interlace={interlace})"
+        )
+    ch = 1 if color_type == 0 else 3
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += 1 + stride
+        if ftype == 0:
+            rec = row.copy()
+        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-ch] (mod 256)
+            rec = (
+                row.reshape(w, ch).astype(np.int64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up (uint8 add wraps mod 256)
+            rec = row + prev
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, np.uint8)
+            for x in range(stride):
+                a_ = int(rec[x - ch]) if x >= ch else 0
+                b_ = int(prev[x])
+                c_ = int(prev[x - ch]) if x >= ch else 0
+                p = a_ + b_ - c_
+                pa, pb, pc = abs(p - a_), abs(p - b_), abs(p - c_)
+                pred = a_ if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, 3)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte-sniffing decode of the library-free containers: PGM (P5)
-    -> (h, w) uint8, PPM (P6) / 24-bit BMP -> (h, w, 3) uint8 RGB."""
+    -> (h, w) uint8, PPM (P6) / 24-bit BMP -> (h, w, 3) uint8 RGB, PNG
+    (8-bit gray/RGB) -> matching shape."""
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     if payload[:2] in (b"P5", b"P6"):
         (magic, w_b, h_b, maxval_b), off = _pnm_header(payload, 4)
         w, h = int(w_b), int(h_b)
@@ -332,7 +445,7 @@ def _decode_auto(payload: bytes, width: int, height: int) -> np.ndarray:
     codecs when importable.  Always returns grayscale (h, w) uint8 (the
     feature/resize kernels are single-channel; color variants would add a
     channel axis end-to-end)."""
-    if payload[:2] in (b"P5", b"P6", b"BM"):
+    if payload[:2] in (b"P5", b"P6", b"BM") or payload[:8] == _PNG_MAGIC:
         return to_gray(decode_image(payload))
     try:  # pragma: no cover - library absent in this container by design
         import io
@@ -362,8 +475,9 @@ def synthetic_assets(
 
     ``codec='raw'`` keeps the payload as opaque random bytes (pairs with
     decode_backend='fake'); ``codec='encoded'`` plants REAL encoded media —
-    image kinds cycle the PGM / PPM / BMP containers so the sniffing decode
-    path is exercised across all three, audio kinds carry genuine RIFF PCM
+    image kinds cycle the PGM / PPM / BMP / PNG containers so the sniffing
+    decode path is exercised across all four (PNG included: a genuinely
+    DEFLATE-compressed payload), audio kinds carry genuine RIFF PCM
     WAVs (two deterministic sine tones + noise), and video kinds carry a
     12-frame concatenated-PGM stream (rolling gradient, per-frame brightness
     ramp) so every modality decodes real content (pairs with
@@ -397,13 +511,15 @@ def synthetic_assets(
                     )
                     payload = encode_video(frames)
                 else:
-                    variant = (asset_id // 3) % 3
+                    variant = (asset_id // 3) % 4
                     if variant == 0:
                         payload = encode_pgm(rng.randint(0, 256, (h, w), dtype=np.uint8))
                     elif variant == 1:
                         payload = encode_ppm(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
-                    else:
+                    elif variant == 2:
                         payload = encode_bmp(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
+                    else:
+                        payload = encode_png(rng.randint(0, 256, (h, w), dtype=np.uint8))
                 rows.append(
                     {
                         "asset_id": asset_id,

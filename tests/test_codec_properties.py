@@ -97,3 +97,83 @@ def test_resize_nearest_properties(data, h, w, nh, nw):
     assert set(np.unique(out)) <= set(np.unique(px))
     # identity resize is exact
     assert np.array_equal(_resize_nearest(px, w, h), px)
+
+
+# --- PNG (stdlib-zlib DEFLATE + numpy un-filtering) ---
+
+from set_sketch_paper_spark.operators.multimodal import (  # noqa: E402
+    _png_chunk,
+    _PNG_MAGIC,
+    decode_png,
+    encode_png,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data(), dims, dims)
+def test_png_gray_roundtrip(data, h, w):
+    px = _arr(data.draw, h, w)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+    # and via the magic-sniffing entry
+    assert np.array_equal(decode_image(encode_png(px)), px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data(), dims, dims)
+def test_png_rgb_roundtrip(data, h, w):
+    rgb = _arr(data.draw, h, w, 3)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+
+
+def _forward_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Reference forward filtering (RFC 2083 §6) — builds a raster whose
+    every row uses `ftype`, so decode_png must invert each filter path."""
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * ch).astype(np.int64)
+    out = b""
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+        uleft = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            p = left + prev - uleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - uleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, uleft)
+            )
+            filt = cur - pred
+        out += bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data(), st.integers(2, 11), st.integers(2, 11),
+       st.sampled_from([0, 1, 2, 3, 4]), st.sampled_from([1, 3]))
+def test_png_decode_inverts_every_filter(data, h, w, ftype, ch):
+    """Hand-build a PNG whose rows all use filter `ftype` (our encoder only
+    emits 0) and check decode recovers the image — exercises the Sub /
+    Up / Average / Paeth inverse paths against the forward reference."""
+    import struct as _s
+    import zlib as _z
+
+    img = _arr(data.draw, h, w) if ch == 1 else _arr(data.draw, h, w, 3)
+    raw = _forward_filter(img, ftype)
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 0 if ch == 1 else 2, 0, 0, 0)
+    payload = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
