@@ -15,12 +15,12 @@ store, and the store append happens BEFORE pairs are emitted, so a crash
 between the two can only under-emit for the replayed batch (which the replay
 then re-emits) — never durably emit pairs for signatures the store lost.
 
-NOTE: store-path inspection (manifest, partition listing) uses driver-local
-filesystem APIs — ``signature_store_path`` must be a driver-visible
-filesystem (local disk / NFS).  For object stores (s3a://, hdfs://) swap
-``_list_batch_dirs`` / manifest IO for the Hadoop FileSystem API via
-``spark._jvm``; the dataframe reads/writes themselves are path-scheme
-agnostic already.
+Store-path inspection (manifest IO, partition listing) goes through the
+Hadoop FileSystem API via ``spark._jvm`` whenever a session is available —
+scheme-agnostic (file://, hdfs://, s3a://, ...), no extra library; the
+driver-local ``os.*`` implementations remain as the no-session fallback
+(and are what a spark-less unit test exercises).  The dataframe
+reads/writes themselves were always path-scheme agnostic.
 """
 
 from __future__ import annotations
@@ -62,7 +62,39 @@ def _store_manifest_path(store_path: str) -> str:
     return os.path.join(store_path, "_STORE_MANIFEST.json")
 
 
-def check_or_write_store_manifest(store_path: str, pcfg: PipelineConfig) -> None:
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` through the session's JVM — resolves
+    the scheme's filesystem (LocalFileSystem for bare/file:// paths, s3a/
+    hdfs/... on clusters) with the session's Hadoop configuration."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _fs_read_text(spark, path: str):
+    """File contents as str, or None if absent — Hadoop FS, any scheme."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def check_or_write_store_manifest(
+    store_path: str, pcfg: PipelineConfig, spark=None
+) -> None:
     """Refuse to mix signature states produced under different configs.
 
     The on-wire signature layout (binary vs array) and the band semantics
@@ -72,11 +104,20 @@ def check_or_write_store_manifest(store_path: str, pcfg: PipelineConfig) -> None
     precondition ``assert(config == other.getConfig())`` (sketch.hpp:1021).
     The on-disk layout version is checked too — stores written by the old
     flat-append layout are refused rather than silently misread.
+
+    With ``spark``, manifest IO runs through the Hadoop FS API (any path
+    scheme); without, through driver-local files (local-path fallback).
     """
     mp = _store_manifest_path(store_path)
-    if os.path.exists(mp):
+    if spark is not None:
+        text = _fs_read_text(spark, mp)
+        manifest = json.loads(text) if text is not None else None
+    elif os.path.exists(mp):
         with open(mp) as f:
             manifest = json.load(f)
+    else:
+        manifest = None
+    if manifest is not None:
         if manifest.get("config_hash") != pcfg.config_hash():
             raise ValueError(
                 f"signature store {store_path} was written with config "
@@ -90,15 +131,32 @@ def check_or_write_store_manifest(store_path: str, pcfg: PipelineConfig) -> None
                 f"{STORE_FORMAT!r} — migrate or start a fresh store"
             )
         return
-    os.makedirs(store_path, exist_ok=True)
-    with open(mp, "w") as f:
-        json.dump({"config_hash": pcfg.config_hash(), "format": STORE_FORMAT}, f)
+    body = json.dumps({"config_hash": pcfg.config_hash(), "format": STORE_FORMAT})
+    if spark is not None:
+        _hadoop_fs(spark, store_path)[0].mkdirs(
+            spark._jvm.org.apache.hadoop.fs.Path(store_path)
+        )
+        _fs_write_text(spark, mp, body)
+    else:
+        os.makedirs(store_path, exist_ok=True)
+        with open(mp, "w") as f:
+            f.write(body)
 
 
-def _list_batch_dirs(store_path: str, exclude_batch_id=None) -> list[str]:
-    if not os.path.isdir(store_path):
+def _list_batch_dirs(store_path: str, exclude_batch_id=None, spark=None) -> list[str]:
+    if spark is not None:
+        fs, p = _hadoop_fs(spark, store_path)
+        if not fs.exists(p):
+            return []
+        parts = [
+            st.getPath().getName()
+            for st in fs.listStatus(p)
+            if st.getPath().getName().startswith("batch_id=")
+        ]
+    elif os.path.isdir(store_path):
+        parts = [p for p in os.listdir(store_path) if p.startswith("batch_id=")]
+    else:
         return []
-    parts = [p for p in os.listdir(store_path) if p.startswith("batch_id=")]
     if exclude_batch_id is not None:
         parts = [p for p in parts if p != f"batch_id={exclude_batch_id}"]
     return sorted(parts)
@@ -109,7 +167,7 @@ def read_signature_store(spark, store_path: str, exclude_batch_id=None):
     drops that batch's partition from the listing — essential on recovery
     replay, where a half-written partition for the CURRENT batch may already
     exist and must not feed its own candidate join."""
-    parts = _list_batch_dirs(store_path, exclude_batch_id)
+    parts = _list_batch_dirs(store_path, exclude_batch_id, spark=spark)
     if not parts:
         return None
     df = spark.read.option("basePath", store_path).parquet(
@@ -191,7 +249,7 @@ def foreach_batch_near_dup(pcfg: PipelineConfig, signature_store_path: str,
 
     def handle(batch_df: DataFrame, batch_id: int):
         spark = batch_df.sparkSession
-        check_or_write_store_manifest(signature_store_path, pcfg)
+        check_or_write_store_manifest(signature_store_path, pcfg, spark=spark)
         signed = (
             with_minhash_signature(batch_df, pcfg, content_col)
             .select(id_col, "sig", "bands", "n_shingles")

@@ -414,3 +414,34 @@ def test_store_manifest_refuses_old_layout(tmp_path):
                     "format": "sig:binary,bands:strided"}, f)
     with _pytest.raises(ValueError, match="layout"):
         check_or_write_store_manifest(store, PCFG)
+
+
+def test_store_manifest_hadoop_fs_path(spark, tmp_path):
+    """Manifest IO and partition listing through the Hadoop FileSystem API
+    (spark._jvm) — the scheme-agnostic path used whenever a session exists —
+    must interoperate exactly with the driver-local os.* fallback on a
+    local store: write via Hadoop FS, read via both; refusal semantics
+    identical; listings identical."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from set_sketch_paper_spark.streaming.stream_dedup import (
+        _list_batch_dirs,
+        check_or_write_store_manifest,
+    )
+
+    store = str(tmp_path / "hfsstore")
+    check_or_write_store_manifest(store, PCFG, spark=spark)   # Hadoop FS write
+    check_or_write_store_manifest(store, PCFG, spark=spark)   # re-check: fine
+    check_or_write_store_manifest(store, PCFG)                # os.* read: fine
+    other = dataclasses.replace(PCFG, jaccard_threshold=0.9)
+    with _pytest.raises(ValueError, match="refusing"):
+        check_or_write_store_manifest(store, other, spark=spark)
+    with _pytest.raises(ValueError, match="refusing"):
+        check_or_write_store_manifest(store, other)
+
+    os.makedirs(os.path.join(store, "batch_id=0"))
+    os.makedirs(os.path.join(store, "batch_id=3"))
+    assert _list_batch_dirs(store, spark=spark) == _list_batch_dirs(store)
+    assert _list_batch_dirs(store, exclude_batch_id=3, spark=spark) == ["batch_id=0"]
