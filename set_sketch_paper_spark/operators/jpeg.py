@@ -1,0 +1,434 @@
+"""Baseline JPEG codec (grayscale, 8-bit, no subsampling) in pure
+numpy + stdlib — no media library.
+
+Scope: ITU-T T.81 baseline sequential DCT, single luminance component,
+standard Annex-K quantization and Huffman tables (the spec's published
+example tables, emitted in DQT/DHT so any conforming reader decodes the
+output).  Enough to read/write real .jpg files for grayscale corpora; the
+color / subsampled / progressive space stays PIL-gated (multimodal.py).
+
+Encode: 8x8 blocks -> level shift -> orthonormal 2D DCT (one matmul pair
+for ALL blocks) -> quantize -> zigzag -> DC differences + AC run-length ->
+Huffman bitstream with 0xFF byte stuffing.  Decode inverts each step; the
+entropy decode is a per-symbol Python loop (correctness path — bounded by
+test image sizes; bulk corpora should store PNG/PNM, which decode
+vectorized).
+
+JPEG is lossy BY DESIGN: roundtrip tests assert coefficient-exact
+recovery of the quantized spectrum (the lossless layer: Huffman + RLE +
+zigzag + DC prediction invert exactly) and PSNR bounds on pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1 luminance quantization table (quality 50 base)
+_QTABLE_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 standard DC luminance Huffman spec: (bits per code length 1..16,
+# symbols)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+
+# Annex K.3 standard AC luminance Huffman spec
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# zigzag order: _ZIGZAG[i] = flat index (row*8+col) of the i-th coefficient
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    u = x[:, None]
+    d = np.cos((2 * x[None, :] + 1) * u * np.pi / 16) / 2.0
+    d[0, :] *= 1 / np.sqrt(2)
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _build_codes(bits, vals):
+    """JPEG canonical Huffman: symbol -> (code, length)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _build_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _build_codes(_AC_BITS, _AC_VALS)
+# decoder direction: (length, code) -> symbol
+_DC_DECODE = {v: s for s, v in ((s, (c[1], c[0])) for s, c in _DC_CODES.items())}
+_AC_DECODE = {v: s for s, v in ((s, (c[1], c[0])) for s, c in _AC_CODES.items())}
+
+
+def _scaled_qtable(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex-K table (clamped to [1, 255])."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_QTABLE_LUMA * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:  # unstuff
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, amplitude bits) per T.81 F.1.2.1 — negative values encode
+    as one's-complement of |v| in `category` bits."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else (v + (1 << cat) - 1)
+    return cat, bits
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def quantized_blocks(img: np.ndarray, quality: int = 85):
+    """(padded_h, padded_w, q, zz) — the encoder's quantized zigzag spectrum
+    for every 8x8 block, exposed so tests can assert the lossless layer
+    (entropy coding) inverts EXACTLY."""
+    a = np.asarray(img, dtype=np.uint8)
+    h, w = a.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+    q = _scaled_qtable(quality)
+    quant = np.round(coef / q).astype(np.int64)
+    zz = quant.reshape(-1, 64)[:, _ZIGZAG]
+    return ph, pw, q, zz
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w) uint8 grayscale -> baseline JFIF JPEG bytes."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("grayscale (h, w) only — color stays PIL-gated")
+    h, w = a.shape
+    ph, pw, q, zz = quantized_blocks(a, quality)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        dc_diff = int(blk[0]) - prev_dc
+        prev_dc = int(blk[0])
+        cat, bits = _magnitude(dc_diff)
+        code, ln = _DC_CODES[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(bits, cat)
+        run = 0
+        last_nz = np.nonzero(blk[1:])[0]
+        last = last_nz[-1] + 1 if len(last_nz) else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_CODES[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            cat, bits = _magnitude(v)
+            code, ln = _AC_CODES[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(bits, cat)
+            run = 0
+        if last < 63:
+            code, ln = _AC_CODES[0x00]  # EOB
+            bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qz = q.reshape(64)[_ZIGZAG]  # DQT stores the table in zigzag order
+    out = (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))
+        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + scan
+        + b"\xff\xd9"  # EOI
+    )
+    return out
+
+
+def _decode_huffman(reader: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline grayscale JPEG -> (h, w) uint8.  Reads the DQT/DHT tables
+    FROM THE FILE (not assumed), so any single-component baseline JPEG of
+    this shape decodes, not just this module's output."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    h = w = None
+    comp_q = comp_dc = comp_ac = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(body, np.uint8, 64, off + 1)
+                qtables[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1:off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17:off + 17 + n])
+                codes = _build_codes(bits, vals)
+                dec = {(lnn, c): s for s, (c, lnn) in codes.items()}
+                (dc_tables if tc == 0 else ac_tables)[th] = dec
+                off += 17 + n
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component baseline supported")
+            # per-component bytes: id, sampling factors, quant table id
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported for grayscale")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDA:
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            scan_start = pos
+            # scan runs until EOI marker
+            end = payload.rfind(b"\xff\xd9")
+            scan = payload[scan_start:end if end > 0 else len(payload)]
+            return _decode_scan(
+                scan, h, w, qtables[comp_q],
+                dc_tables[comp_dc], ac_tables[comp_ac],
+            )
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(scan, h, w, q, dc_dec, ac_dec):
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    n_blocks = (ph // 8) * (pw // 8)
+    reader = _BitReader(scan)
+    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    prev_dc = 0
+    for b in range(n_blocks):
+        cat = _decode_huffman(reader, dc_dec)
+        prev_dc += _extend(reader.read_bits(cat), cat)
+        zz[b, 0] = prev_dc
+        i = 1
+        while i < 64:
+            sym = _decode_huffman(reader, ac_dec)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, cat = sym >> 4, sym & 0xF
+            i += run
+            if i > 63:
+                raise ValueError("AC run overflows block")
+            zz[b, i] = _extend(reader.read_bits(cat), cat)
+            i += 1
+    quant = np.zeros((n_blocks, 64), dtype=np.int64)
+    quant[:, _ZIGZAG] = zz
+    coef = quant.reshape(-1, 8, 8).astype(np.float64) * q
+    blocks = np.einsum("xu,nuv,yv->nxy", _DCT.T.copy(), coef, _DCT.T.copy())
+    px = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+    img = (
+        px.reshape(ph // 8, pw // 8, 8, 8).transpose(0, 2, 1, 3).reshape(ph, pw)
+    )
+    return img[:h, :w]
+
+
+def decode_jpeg_spectrum(payload: bytes):
+    """The quantized zigzag spectrum as the decoder read it — paired with
+    quantized_blocks() to assert the entropy layer is LOSSLESS."""
+    # identical walk to decode_jpeg but returning zz instead of pixels
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    dc_dec = ac_dec = None
+    h = w = None
+    while pos < len(payload):
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc = body[off] >> 4
+                bits = list(body[off + 1:off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17:off + 17 + n])
+                dec = {(lnn, c): s for s, (c, lnn) in _build_codes(bits, vals).items()}
+                if tc == 0:
+                    dc_dec = dec
+                else:
+                    ac_dec = dec
+                off += 17 + n
+        elif marker == 0xC0:
+            _, h, w, _ = struct.unpack_from(">BHHB", body, 0)
+        elif marker == 0xDA:
+            end = payload.rfind(b"\xff\xd9")
+            scan = payload[pos:end if end > 0 else len(payload)]
+            ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+            n_blocks = (ph // 8) * (pw // 8)
+            reader = _BitReader(scan)
+            zz = np.zeros((n_blocks, 64), dtype=np.int64)
+            prev_dc = 0
+            for b in range(n_blocks):
+                cat = _decode_huffman(reader, dc_dec)
+                prev_dc += _extend(reader.read_bits(cat), cat)
+                zz[b, 0] = prev_dc
+                i = 1
+                while i < 64:
+                    sym = _decode_huffman(reader, ac_dec)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        i += 16
+                        continue
+                    i += sym >> 4
+                    zz[b, i] = _extend(reader.read_bits(sym & 0xF), sym & 0xF)
+                    i += 1
+            return zz
+    raise ValueError("no scan")

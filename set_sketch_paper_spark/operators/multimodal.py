@@ -6,12 +6,13 @@ Arrow-batched UDF signatures, fan-out of frame samples) is real and tested,
 and so are the uncompressed codecs: pure-numpy PGM (P5), PPM (P6) and
 24-bit BMP image decode (``decode_backend='auto'`` sniffs the magic bytes)
 and a chunk-walking RIFF PCM WAV audio codec feeding real spectral features
-(rfft periodogram).  PNG (8-bit gray/RGB, all five scanline filters) is a
-REAL compressed codec here — stdlib zlib for DEFLATE, numpy for
-un-filtering, no media library.  Remaining compressed codecs
-(JPEG/MP3/...) defer to PIL/soundfile when present; this container ships
-no media libraries, so ``decode_backend='fake'`` remains available as the
-deterministic hash-seeded stand-in for them.
+(rfft periodogram).  PNG (8-bit gray/RGB, all five scanline filters; stdlib zlib + numpy)
+and baseline grayscale JPEG (operators/jpeg.py — Annex-K tables, full
+entropy codec) are REAL compressed codecs here, no media library.
+Remaining codecs (color/progressive JPEG, MP3/...) defer to
+PIL/soundfile when present; this container ships no media libraries, so
+``decode_backend='fake'`` remains available as the deterministic
+hash-seeded stand-in for them.
 """
 
 from __future__ import annotations
@@ -220,6 +221,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     (8-bit gray/RGB) -> matching shape."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:2] in (b"P5", b"P6"):
         (magic, w_b, h_b, maxval_b), off = _pnm_header(payload, 4)
         w, h = int(w_b), int(h_b)
@@ -445,7 +450,10 @@ def _decode_auto(payload: bytes, width: int, height: int) -> np.ndarray:
     codecs when importable.  Always returns grayscale (h, w) uint8 (the
     feature/resize kernels are single-channel; color variants would add a
     channel axis end-to-end)."""
-    if payload[:2] in (b"P5", b"P6", b"BM") or payload[:8] == _PNG_MAGIC:
+    if (
+        payload[:2] in (b"P5", b"P6", b"BM", b"\xff\xd8")
+        or payload[:8] == _PNG_MAGIC
+    ):
         return to_gray(decode_image(payload))
     try:  # pragma: no cover - library absent in this container by design
         import io
@@ -475,9 +483,10 @@ def synthetic_assets(
 
     ``codec='raw'`` keeps the payload as opaque random bytes (pairs with
     decode_backend='fake'); ``codec='encoded'`` plants REAL encoded media —
-    image kinds cycle the PGM / PPM / BMP / PNG containers so the sniffing
-    decode path is exercised across all four (PNG included: a genuinely
-    DEFLATE-compressed payload), audio kinds carry genuine RIFF PCM
+    image kinds cycle the PGM / PPM / BMP / PNG / JPEG containers so the
+    sniffing decode path is exercised across all five (PNG and baseline
+    JPEG are genuinely compressed payloads), audio kinds carry genuine
+    RIFF PCM
     WAVs (two deterministic sine tones + noise), and video kinds carry a
     12-frame concatenated-PGM stream (rolling gradient, per-frame brightness
     ramp) so every modality decodes real content (pairs with
@@ -511,15 +520,21 @@ def synthetic_assets(
                     )
                     payload = encode_video(frames)
                 else:
-                    variant = (asset_id // 3) % 4
+                    variant = (asset_id // 3) % 5
                     if variant == 0:
                         payload = encode_pgm(rng.randint(0, 256, (h, w), dtype=np.uint8))
                     elif variant == 1:
                         payload = encode_ppm(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
                     elif variant == 2:
                         payload = encode_bmp(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
-                    else:
+                    elif variant == 3:
                         payload = encode_png(rng.randint(0, 256, (h, w), dtype=np.uint8))
+                    else:
+                        from .jpeg import encode_jpeg
+
+                        payload = encode_jpeg(
+                            rng.randint(0, 256, (h, w), dtype=np.uint8), quality=90
+                        )
                 rows.append(
                     {
                         "asset_id": asset_id,

@@ -177,3 +177,67 @@ def test_png_decode_inverts_every_filter(data, h, w, ftype, ch):
         + _png_chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png(payload), img)
+
+
+# --- baseline grayscale JPEG (operators/jpeg.py) ---
+
+from set_sketch_paper_spark.operators.jpeg import (  # noqa: E402
+    decode_jpeg,
+    decode_jpeg_spectrum,
+    encode_jpeg,
+    quantized_blocks,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data(), st.integers(1, 40), st.integers(1, 40),
+       st.sampled_from([10, 50, 85, 95]))
+def test_jpeg_entropy_layer_lossless(data, h, w, quality):
+    """The lossy step is quantization ONLY: the Huffman/RLE/zigzag/DC-pred
+    entropy layer must reproduce the encoder's quantized spectrum EXACTLY
+    for arbitrary images, sizes (incl. non-multiples of 8) and qualities."""
+    px = _arr(data.draw, h, w)
+    payload = encode_jpeg(px, quality=quality)
+    assert np.array_equal(quantized_blocks(px, quality)[3],
+                          decode_jpeg_spectrum(payload))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(9, 48), st.integers(9, 48), st.integers(0, 1000))
+def test_jpeg_smooth_image_psnr(h, w, seed):
+    """Smooth content at quality 90 decodes above 38 dB PSNR and through
+    the magic-sniffing multimodal entry."""
+    from set_sketch_paper_spark.operators.multimodal import decode_image
+
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    img = (128 + 80 * np.sin((x + seed) / 6.0) * np.cos(y / 5.0)).astype(np.uint8)
+    out = decode_image(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+    assert psnr > 38.0, psnr
+
+
+def test_jpeg_quality_monotone():
+    """Higher quality -> larger file and better PSNR (sanity of the IJG
+    quant scaling)."""
+    x, y = np.meshgrid(np.arange(40), np.arange(24))
+    img = (128 + 80 * np.sin(x / 6.0) * np.cos(y / 5.0)).astype(np.uint8)
+    sizes, psnrs = [], []
+    for q in (10, 50, 90):
+        p = encode_jpeg(img, quality=q)
+        out = decode_jpeg(p)
+        mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+        sizes.append(len(p))
+        psnrs.append(10 * np.log10(255.0**2 / max(mse, 1e-9)))
+    assert sizes == sorted(sizes)
+    assert psnrs == sorted(psnrs)
+
+
+def test_jpeg_rejects_color_and_garbage():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
