@@ -4,15 +4,16 @@ numpy + stdlib — no media library.
 Scope: ITU-T T.81 baseline sequential DCT, single luminance component,
 standard Annex-K quantization and Huffman tables (the spec's published
 example tables, emitted in DQT/DHT so any conforming reader decodes the
-output).  Enough to read/write real .jpg files for grayscale corpora; the
-color / subsampled / progressive space stays PIL-gated (multimodal.py).
+output), optional restart markers (DRI/RSTn) on both encode and decode.
+Enough to read/write real .jpg files for grayscale corpora; the color /
+subsampled / progressive space stays PIL-gated (multimodal.py).
 
-Encode: 8x8 blocks -> level shift -> orthonormal 2D DCT (one matmul pair
-for ALL blocks) -> quantize -> zigzag -> DC differences + AC run-length ->
-Huffman bitstream with 0xFF byte stuffing.  Decode inverts each step; the
-entropy decode is a per-symbol Python loop (correctness path — bounded by
-test image sizes; bulk corpora should store PNG/PNM, which decode
-vectorized).
+Encode: 8x8 blocks -> level shift -> orthonormal 2D DCT (one einsum for
+ALL blocks) -> quantize -> zigzag -> DC differences + AC run-length ->
+Huffman bitstream with 0xFF byte stuffing.  Decode reads DQT/DHT/DRI from
+the file and inverts each step; the entropy decode is a per-symbol Python
+loop (correctness path — bounded by test image sizes; bulk corpora should
+store PNG/PNM, which decode vectorized).
 
 JPEG is lossy BY DESIGN: roundtrip tests assert coefficient-exact
 recovery of the quantized spectrum (the lossless layer: Huffman + RLE +
@@ -21,6 +22,7 @@ zigzag + DC prediction invert exactly) and PSNR bounds on pixels.
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -74,6 +76,10 @@ _ZIGZAG = np.array(
     ]
 )
 
+# any 0xFFD0-0xFFD7 byte pair inside entropy data IS a restart marker:
+# stuffing guarantees a data 0xFF is always followed by 0x00
+_RST_RE = re.compile(rb"\xff[\xd0-\xd7]")
+
 
 def _dct_matrix() -> np.ndarray:
     x = np.arange(8)
@@ -100,9 +106,6 @@ def _build_codes(bits, vals):
 
 _DC_CODES = _build_codes(_DC_BITS, _DC_VALS)
 _AC_CODES = _build_codes(_AC_BITS, _AC_VALS)
-# decoder direction: (length, code) -> symbol
-_DC_DECODE = {v: s for s, v in ((s, (c[1], c[0])) for s, c in _DC_CODES.items())}
-_AC_DECODE = {v: s for s, v in ((s, (c[1], c[0])) for s, c in _AC_CODES.items())}
 
 
 def _scaled_qtable(quality: int) -> np.ndarray:
@@ -129,6 +132,16 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # truncate emitted bits: without this the accumulator grows into an
+        # ever-larger bigint and encode turns O(n^2) in scan length
+        self.acc &= (1 << self.nbits) - 1
+
+    def restart(self, m: int):
+        """Byte-align (1-pad) and emit RSTm — markers are never stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -153,7 +166,7 @@ class _BitReader:
                 self.pos += 1
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-        self.acc = (self.acc << 8) | b
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF  # bounded accumulator
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -207,8 +220,41 @@ def quantized_blocks(img: np.ndarray, quality: int = 85):
     return ph, pw, q, zz
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w) uint8 grayscale -> baseline JFIF JPEG bytes."""
+def _encode_block(bw: _BitWriter, blk, prev_dc: int) -> int:
+    dc_diff = int(blk[0]) - prev_dc
+    cat, bits = _magnitude(dc_diff)
+    code, ln = _DC_CODES[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(bits, cat)
+    run = 0
+    last_nz = np.nonzero(blk[1:])[0]
+    last = last_nz[-1] + 1 if len(last_nz) else 0
+    for i in range(1, last + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_CODES[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = _AC_CODES[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(bits, cat)
+        run = 0
+    if last < 63:
+        code, ln = _AC_CODES[0x00]  # EOB
+        bw.write(code, ln)
+    return int(blk[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
+    """(h, w) uint8 grayscale -> baseline JFIF JPEG bytes.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
+    that many blocks (what cameras/libjpeg produce for error resilience)."""
     a = np.asarray(img, dtype=np.uint8)
     if a.ndim != 2:
         raise ValueError("grayscale (h, w) only — color stays PIL-gated")
@@ -217,34 +263,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
     bw = _BitWriter()
     prev_dc = 0
-    for blk in zz:
-        dc_diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
-        cat, bits = _magnitude(dc_diff)
-        code, ln = _DC_CODES[cat]
-        bw.write(code, ln)
-        if cat:
-            bw.write(bits, cat)
-        run = 0
-        last_nz = np.nonzero(blk[1:])[0]
-        last = last_nz[-1] + 1 if len(last_nz) else 0
-        for i in range(1, last + 1):
-            v = int(blk[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = _AC_CODES[0xF0]  # ZRL
-                bw.write(code, ln)
-                run -= 16
-            cat, bits = _magnitude(v)
-            code, ln = _AC_CODES[(run << 4) | cat]
-            bw.write(code, ln)
-            bw.write(bits, cat)
-            run = 0
-        if last < 63:
-            code, ln = _AC_CODES[0x00]  # EOB
-            bw.write(code, ln)
+    rst = 0
+    for n, blk in enumerate(zz):
+        if restart_interval and n and n % restart_interval == 0:
+            bw.restart(rst)
+            rst = (rst + 1) & 7
+            prev_dc = 0
+        prev_dc = _encode_block(bw, blk, prev_dc)
     scan = bw.flush()
 
     def seg(marker, body):
@@ -258,10 +283,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
         + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
         + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
-        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-        + scan
-        + b"\xff\xd9"  # EOI
     )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + scan + b"\xff\xd9"
     return out
 
 
@@ -276,10 +301,48 @@ def _decode_huffman(reader: _BitReader, table) -> int:
     raise ValueError("invalid Huffman code in scan")
 
 
-def decode_jpeg(payload: bytes):
-    """Baseline grayscale JPEG -> (h, w) uint8.  Reads the DQT/DHT tables
-    FROM THE FILE (not assumed), so any single-component baseline JPEG of
-    this shape decodes, not just this module's output."""
+def _entropy_decode(scan, n_blocks, dc_dec, ac_dec, restart_interval):
+    """scan bytes -> (n_blocks, 64) quantized zigzag spectrum.  Restart
+    markers (if declared via DRI) byte-align and reset the DC predictor."""
+    segments = _RST_RE.split(scan) if restart_interval else [scan]
+    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    b = 0
+    for seg_i, segment in enumerate(segments):
+        reader = _BitReader(segment)
+        prev_dc = 0
+        expect = (
+            min(restart_interval, n_blocks - b) if restart_interval else n_blocks
+        )
+        for _ in range(expect):
+            cat = _decode_huffman(reader, dc_dec)
+            prev_dc += _extend(reader.read_bits(cat), cat)
+            zz[b, 0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = _decode_huffman(reader, ac_dec)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, cat = sym >> 4, sym & 0xF
+                i += run
+                if i > 63:
+                    raise ValueError("AC run overflows block")
+                zz[b, i] = _extend(reader.read_bits(cat), cat)
+                i += 1
+            b += 1
+        if b >= n_blocks:
+            break
+    if b != n_blocks:
+        raise ValueError(f"scan ended after {b}/{n_blocks} blocks")
+    return zz
+
+
+def _parse(payload: bytes):
+    """Shared marker walk: -> (zz, h, w, qtable).  Reads DQT/DHT/DRI from
+    the file; tolerates 0xFF fill bytes and standalone TEM/RST markers in
+    the header region."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -287,13 +350,20 @@ def decode_jpeg(payload: bytes):
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     h = w = None
-    comp_q = comp_dc = comp_ac = 0
-    while pos < len(payload):
+    comp_q = 0
+    restart_interval = 0
+    while pos < len(payload) - 1:
         if payload[pos] != 0xFF:
-            raise ValueError(f"expected marker at {pos}")
+            raise ValueError(f"expected marker at offset {pos}")
+        # spec-legal fill bytes: any number of 0xFF before the marker code
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RST: standalone
+            pos += 2
+            continue
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4:pos + 2 + ln]
         pos += 2 + ln
@@ -318,6 +388,8 @@ def decode_jpeg(payload: bytes):
                 dec = {(lnn, c): s for s, (c, lnn) in codes.items()}
                 (dc_tables if tc == 0 else ac_tables)[th] = dec
                 off += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or ncomp != 1:
@@ -330,42 +402,25 @@ def decode_jpeg(payload: bytes):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDA:
             comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
-            scan_start = pos
-            # scan runs until EOI marker
             end = payload.rfind(b"\xff\xd9")
-            scan = payload[scan_start:end if end > 0 else len(payload)]
-            return _decode_scan(
-                scan, h, w, qtables[comp_q],
-                dc_tables[comp_dc], ac_tables[comp_ac],
+            scan = payload[pos:end if end > 0 else len(payload)]
+            ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+            zz = _entropy_decode(
+                scan, (ph // 8) * (pw // 8),
+                dc_tables[comp_dc], ac_tables[comp_ac], restart_interval,
             )
+            return zz, h, w, qtables[comp_q]
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(scan, h, w, q, dc_dec, ac_dec):
+def decode_jpeg(payload: bytes):
+    """Baseline grayscale JPEG -> (h, w) uint8.  Reads the DQT/DHT/DRI
+    segments FROM THE FILE (not assumed), handles restart markers and fill
+    bytes, so single-component baseline JPEGs from standard encoders
+    decode — not just this module's output."""
+    zz, h, w, q = _parse(payload)
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    n_blocks = (ph // 8) * (pw // 8)
-    reader = _BitReader(scan)
-    zz = np.zeros((n_blocks, 64), dtype=np.int64)
-    prev_dc = 0
-    for b in range(n_blocks):
-        cat = _decode_huffman(reader, dc_dec)
-        prev_dc += _extend(reader.read_bits(cat), cat)
-        zz[b, 0] = prev_dc
-        i = 1
-        while i < 64:
-            sym = _decode_huffman(reader, ac_dec)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                i += 16
-                continue
-            run, cat = sym >> 4, sym & 0xF
-            i += run
-            if i > 63:
-                raise ValueError("AC run overflows block")
-            zz[b, i] = _extend(reader.read_bits(cat), cat)
-            i += 1
-    quant = np.zeros((n_blocks, 64), dtype=np.int64)
+    quant = np.zeros_like(zz)
     quant[:, _ZIGZAG] = zz
     coef = quant.reshape(-1, 8, 8).astype(np.float64) * q
     blocks = np.einsum("xu,nuv,yv->nxy", _DCT.T.copy(), coef, _DCT.T.copy())
@@ -379,56 +434,4 @@ def _decode_scan(scan, h, w, q, dc_dec, ac_dec):
 def decode_jpeg_spectrum(payload: bytes):
     """The quantized zigzag spectrum as the decoder read it — paired with
     quantized_blocks() to assert the entropy layer is LOSSLESS."""
-    # identical walk to decode_jpeg but returning zz instead of pixels
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG")
-    pos = 2
-    dc_dec = ac_dec = None
-    h = w = None
-    while pos < len(payload):
-        marker = payload[pos + 1]
-        if marker == 0xD9:
-            break
-        (ln,) = struct.unpack_from(">H", payload, pos + 2)
-        body = payload[pos + 4:pos + 2 + ln]
-        pos += 2 + ln
-        if marker == 0xC4:
-            off = 0
-            while off < len(body):
-                tc = body[off] >> 4
-                bits = list(body[off + 1:off + 17])
-                n = sum(bits)
-                vals = list(body[off + 17:off + 17 + n])
-                dec = {(lnn, c): s for s, (c, lnn) in _build_codes(bits, vals).items()}
-                if tc == 0:
-                    dc_dec = dec
-                else:
-                    ac_dec = dec
-                off += 17 + n
-        elif marker == 0xC0:
-            _, h, w, _ = struct.unpack_from(">BHHB", body, 0)
-        elif marker == 0xDA:
-            end = payload.rfind(b"\xff\xd9")
-            scan = payload[pos:end if end > 0 else len(payload)]
-            ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-            n_blocks = (ph // 8) * (pw // 8)
-            reader = _BitReader(scan)
-            zz = np.zeros((n_blocks, 64), dtype=np.int64)
-            prev_dc = 0
-            for b in range(n_blocks):
-                cat = _decode_huffman(reader, dc_dec)
-                prev_dc += _extend(reader.read_bits(cat), cat)
-                zz[b, 0] = prev_dc
-                i = 1
-                while i < 64:
-                    sym = _decode_huffman(reader, ac_dec)
-                    if sym == 0x00:
-                        break
-                    if sym == 0xF0:
-                        i += 16
-                        continue
-                    i += sym >> 4
-                    zz[b, i] = _extend(reader.read_bits(sym & 0xF), sym & 0xF)
-                    i += 1
-            return zz
-    raise ValueError("no scan")
+    return _parse(payload)[0]

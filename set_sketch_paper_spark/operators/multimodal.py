@@ -133,7 +133,10 @@ def encode_png(arr: np.ndarray) -> bytes:
         raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
     h, w = a.shape[:2]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    # one vectorized raster build: filter-0 byte column prepended per row
+    raw = np.hstack(
+        [np.zeros((h, 1), np.uint8), a.reshape(h, -1)]
+    ).tobytes()
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)

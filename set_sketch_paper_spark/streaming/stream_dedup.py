@@ -133,9 +133,8 @@ def check_or_write_store_manifest(
         return
     body = json.dumps({"config_hash": pcfg.config_hash(), "format": STORE_FORMAT})
     if spark is not None:
-        _hadoop_fs(spark, store_path)[0].mkdirs(
-            spark._jvm.org.apache.hadoop.fs.Path(store_path)
-        )
+        fs, p = _hadoop_fs(spark, store_path)
+        fs.mkdirs(p)
         _fs_write_text(spark, mp, body)
     else:
         os.makedirs(store_path, exist_ok=True)

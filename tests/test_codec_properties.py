@@ -241,3 +241,37 @@ def test_jpeg_rejects_color_and_garbage():
         encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8))
     with _pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data(), st.integers(8, 40), st.integers(8, 40),
+       st.sampled_from([1, 2, 5]))
+def test_jpeg_restart_markers_roundtrip(data, h, w, interval):
+    """DRI/RSTn path: restart markers byte-align and reset DC prediction;
+    the spectrum must still be recovered exactly."""
+    px = _arr(data.draw, h, w)
+    payload = encode_jpeg(px, quality=85, restart_interval=interval)
+    assert b"\xff\xdd" in payload  # DRI present
+    assert np.array_equal(quantized_blocks(px, 85)[3],
+                          decode_jpeg_spectrum(payload))
+    assert decode_jpeg(payload).shape == (h, w)
+
+
+def test_jpeg_scan_time_linear_not_quadratic():
+    """The bit accumulators must stay bounded: 4x the pixels may cost ~4x,
+    never ~16x (the masked-accumulator regression gate)."""
+    import time
+
+    rng = np.random.RandomState(3)
+    small = rng.randint(0, 256, (64, 64), dtype=np.uint8)
+    big = rng.randint(0, 256, (128, 128), dtype=np.uint8)
+
+    def cost(img):
+        t0 = time.perf_counter()
+        p = encode_jpeg(img, quality=85)
+        decode_jpeg(p)
+        return time.perf_counter() - t0
+
+    cost(small)  # warm
+    ratio = cost(big) / max(cost(small), 1e-9)
+    assert ratio < 10.0, ratio  # 4x data: linear ~4x, quadratic was ~16x
