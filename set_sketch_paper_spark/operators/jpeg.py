@@ -1,12 +1,13 @@
-"""Baseline JPEG codec (grayscale, 8-bit, no subsampling) in pure
+"""Baseline JPEG codec (8-bit grayscale + YCbCr 4:4:4 color) in pure
 numpy + stdlib — no media library.
 
-Scope: ITU-T T.81 baseline sequential DCT, single luminance component,
-standard Annex-K quantization and Huffman tables (the spec's published
-example tables, emitted in DQT/DHT so any conforming reader decodes the
-output), optional restart markers (DRI/RSTn) on both encode and decode.
-Enough to read/write real .jpg files for grayscale corpora; the color /
-subsampled / progressive space stays PIL-gated (multimodal.py).
+Scope: ITU-T T.81 baseline sequential DCT, 1 or 3 components with no
+subsampling, standard Annex-K quantization and Huffman tables (the
+spec's published example tables, emitted in DQT/DHT so any conforming
+reader decodes the output), optional restart markers (DRI/RSTn) on both
+encode and decode.  Enough to read/write real .jpg files for image
+corpora; the subsampled / progressive space stays PIL-gated
+(multimodal.py).
 
 Encode: 8x8 blocks -> level shift -> orthonormal 2D DCT (one einsum for
 ALL blocks) -> quantize -> zigzag -> DC differences + AC run-length ->
@@ -107,6 +108,70 @@ def _build_codes(bits, vals):
 _DC_CODES = _build_codes(_DC_BITS, _DC_VALS)
 _AC_CODES = _build_codes(_AC_BITS, _AC_VALS)
 
+# Annex K.2 chrominance quantization table
+_QTABLE_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 standard chrominance Huffman specs.  (Both sides of this codec
+# read DHT from the file, so correctness is table-independent; these are
+# emitted for interoperability with standard decoders.)
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_DC_CODES_C = _build_codes(_DC_BITS_C, _DC_VALS_C)
+_AC_CODES_C = _build_codes(_AC_BITS_C, _AC_VALS_C)
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB -> float64 YCbCr (JFIF full-range)."""
+    a = rgb.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ],
+        axis=-1,
+    )
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """float64 YCbCr (JFIF) -> uint8 RGB."""
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
 
 def _scaled_qtable(quality: int) -> np.ndarray:
     """IJG quality scaling of the Annex-K table (clamped to [1, 255])."""
@@ -199,31 +264,60 @@ def _extend(bits: int, cat: int) -> int:
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
-def quantized_blocks(img: np.ndarray, quality: int = 85):
-    """(padded_h, padded_w, q, zz) — the encoder's quantized zigzag spectrum
-    for every 8x8 block, exposed so tests can assert the lossless layer
-    (entropy coding) inverts EXACTLY."""
-    a = np.asarray(img, dtype=np.uint8)
-    h, w = a.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge")
+def _zz_of_channel(channel: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """One channel (ph, pw) float64 -> (n_blocks, 64) quantized zigzag."""
+    ph, pw = channel.shape
     blocks = (
-        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        channel.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
         .reshape(-1, 8, 8)
-        .astype(np.float64)
         - 128.0
     )
     coef = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
-    q = _scaled_qtable(quality)
     quant = np.round(coef / q).astype(np.int64)
-    zz = quant.reshape(-1, 64)[:, _ZIGZAG]
-    return ph, pw, q, zz
+    return quant.reshape(-1, 64)[:, _ZIGZAG]
 
 
-def _encode_block(bw: _BitWriter, blk, prev_dc: int) -> int:
+def _pad_edge(a: np.ndarray):
+    h, w = a.shape[:2]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pad = ((0, ph - h), (0, pw - w)) + ((0, 0),) * (a.ndim - 2)
+    return np.pad(a, pad, mode="edge"), ph, pw
+
+
+def quantized_blocks(img: np.ndarray, quality: int = 85):
+    """(padded_h, padded_w, q, zz) — the encoder's quantized zigzag spectrum
+    for every 8x8 block of a GRAYSCALE image, exposed so tests can assert
+    the lossless layer (entropy coding) inverts EXACTLY.  For color use
+    quantized_blocks_color."""
+    a = np.asarray(img, dtype=np.uint8)
+    padded, ph, pw = _pad_edge(a)
+    q = _scaled_qtable(quality)
+    return ph, pw, q, _zz_of_channel(padded.astype(np.float64), q)
+
+
+def _chroma_qtable(quality: int) -> np.ndarray:
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((_QTABLE_CHROMA * scale + 50) // 100, 1, 255)
+
+
+def quantized_blocks_color(img: np.ndarray, quality: int = 85):
+    """Color analog: (ph, pw, [q_luma, q_chroma], [zz_y, zz_cb, zz_cr])."""
+    a = np.asarray(img, dtype=np.uint8)
+    padded, ph, pw = _pad_edge(a)
+    ycc = rgb_to_ycbcr(padded)
+    ql, qc = _scaled_qtable(quality), _chroma_qtable(quality)
+    zzs = [
+        _zz_of_channel(ycc[..., 0], ql),
+        _zz_of_channel(ycc[..., 1], qc),
+        _zz_of_channel(ycc[..., 2], qc),
+    ]
+    return ph, pw, [ql, qc], zzs
+
+
+def _encode_block(bw: _BitWriter, blk, prev_dc: int, dc_codes, ac_codes) -> int:
     dc_diff = int(blk[0]) - prev_dc
     cat, bits = _magnitude(dc_diff)
-    code, ln = _DC_CODES[cat]
+    code, ln = dc_codes[cat]
     bw.write(code, ln)
     if cat:
         bw.write(bits, cat)
@@ -236,57 +330,95 @@ def _encode_block(bw: _BitWriter, blk, prev_dc: int) -> int:
             run += 1
             continue
         while run > 15:
-            code, ln = _AC_CODES[0xF0]  # ZRL
+            code, ln = ac_codes[0xF0]  # ZRL
             bw.write(code, ln)
             run -= 16
         cat, bits = _magnitude(v)
-        code, ln = _AC_CODES[(run << 4) | cat]
+        code, ln = ac_codes[(run << 4) | cat]
         bw.write(code, ln)
         bw.write(bits, cat)
         run = 0
     if last < 63:
-        code, ln = _AC_CODES[0x00]  # EOB
+        code, ln = ac_codes[0x00]  # EOB
         bw.write(code, ln)
     return int(blk[0])
 
 
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_seg(tq: int, q: np.ndarray) -> bytes:
+    qz = q.reshape(64)[_ZIGZAG]  # DQT stores the table in zigzag order
+    return _seg(0xDB, bytes([tq]) + bytes(int(x) for x in qz))
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
-    """(h, w) uint8 grayscale -> baseline JFIF JPEG bytes.
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF JPEG bytes
+    (color = YCbCr 4:4:4, Annex-K luma + chroma tables).
 
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
-    that many blocks (what cameras/libjpeg produce for error resilience)."""
+    that many MCUs (what cameras/libjpeg produce for error resilience)."""
     a = np.asarray(img, dtype=np.uint8)
-    if a.ndim != 2:
-        raise ValueError("grayscale (h, w) only — color stays PIL-gated")
-    h, w = a.shape
-    ph, pw, q, zz = quantized_blocks(a, quality)
+    if a.ndim == 2:
+        h, w = a.shape
+        ph, pw, q, zz = quantized_blocks(a, quality)
+        zzs, mcu_specs = [zz], [(_DC_CODES, _AC_CODES)]
+        header = (
+            _dqt_seg(0, q)
+            + _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+            + _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        )
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w = a.shape[:2]
+        ph, pw, (ql, qc), zzs = quantized_blocks_color(a, quality)
+        mcu_specs = [
+            (_DC_CODES, _AC_CODES),
+            (_DC_CODES_C, _AC_CODES_C),
+            (_DC_CODES_C, _AC_CODES_C),
+        ]
+        header = (
+            _dqt_seg(0, ql)
+            + _dqt_seg(1, qc)
+            + _seg(
+                0xC0,
+                struct.pack(">BHHB", 8, h, w, 3)
+                + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            )
+            + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+            + _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+            + _seg(0xC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+            + _seg(0xC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+        )
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    else:
+        raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB uint8")
 
+    n_mcus = len(zzs[0])
     bw = _BitWriter()
-    prev_dc = 0
+    prev_dc = [0] * len(zzs)
     rst = 0
-    for n, blk in enumerate(zz):
+    for n in range(n_mcus):
         if restart_interval and n and n % restart_interval == 0:
             bw.restart(rst)
             rst = (rst + 1) & 7
-            prev_dc = 0
-        prev_dc = _encode_block(bw, blk, prev_dc)
+            prev_dc = [0] * len(zzs)
+        for ci, (dc_codes, ac_codes) in enumerate(mcu_specs):
+            prev_dc[ci] = _encode_block(
+                bw, zzs[ci][n], prev_dc[ci], dc_codes, ac_codes
+            )
     scan = bw.flush()
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    qz = q.reshape(64)[_ZIGZAG]  # DQT stores the table in zigzag order
     out = (
         b"\xff\xd8"  # SOI
-        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))
-        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-        + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
-        + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + header
     )
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + scan + b"\xff\xd9"
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xDA, sos) + scan + b"\xff\xd9"
     return out
 
 
@@ -301,48 +433,51 @@ def _decode_huffman(reader: _BitReader, table) -> int:
     raise ValueError("invalid Huffman code in scan")
 
 
-def _entropy_decode(scan, n_blocks, dc_dec, ac_dec, restart_interval):
-    """scan bytes -> (n_blocks, 64) quantized zigzag spectrum.  Restart
-    markers (if declared via DRI) byte-align and reset the DC predictor."""
+def _entropy_decode(scan, n_mcus, specs, restart_interval):
+    """scan bytes -> [per-component (n_mcus, 64) spectra].  ``specs`` is one
+    (dc_dec, ac_dec) pair per component in MCU interleave order.  Restart
+    markers (if declared via DRI, counted in MCUs) byte-align and reset
+    every DC predictor."""
     segments = _RST_RE.split(scan) if restart_interval else [scan]
-    zz = np.zeros((n_blocks, 64), dtype=np.int64)
-    b = 0
-    for seg_i, segment in enumerate(segments):
+    ncomp = len(specs)
+    zzs = [np.zeros((n_mcus, 64), dtype=np.int64) for _ in range(ncomp)]
+    m = 0
+    for segment in segments:
         reader = _BitReader(segment)
-        prev_dc = 0
-        expect = (
-            min(restart_interval, n_blocks - b) if restart_interval else n_blocks
-        )
+        prev_dc = [0] * ncomp
+        expect = min(restart_interval, n_mcus - m) if restart_interval else n_mcus
         for _ in range(expect):
-            cat = _decode_huffman(reader, dc_dec)
-            prev_dc += _extend(reader.read_bits(cat), cat)
-            zz[b, 0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _decode_huffman(reader, ac_dec)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, cat = sym >> 4, sym & 0xF
-                i += run
-                if i > 63:
-                    raise ValueError("AC run overflows block")
-                zz[b, i] = _extend(reader.read_bits(cat), cat)
-                i += 1
-            b += 1
-        if b >= n_blocks:
+            for ci, (dc_dec, ac_dec) in enumerate(specs):
+                cat = _decode_huffman(reader, dc_dec)
+                prev_dc[ci] += _extend(reader.read_bits(cat), cat)
+                zz = zzs[ci]
+                zz[m, 0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    sym = _decode_huffman(reader, ac_dec)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, cat = sym >> 4, sym & 0xF
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[m, i] = _extend(reader.read_bits(cat), cat)
+                    i += 1
+            m += 1
+        if m >= n_mcus:
             break
-    if b != n_blocks:
-        raise ValueError(f"scan ended after {b}/{n_blocks} blocks")
-    return zz
+    if m != n_mcus:
+        raise ValueError(f"scan ended after {m}/{n_mcus} MCUs")
+    return zzs
 
 
 def _parse(payload: bytes):
-    """Shared marker walk: -> (zz, h, w, qtable).  Reads DQT/DHT/DRI from
-    the file; tolerates 0xFF fill bytes and standalone TEM/RST markers in
-    the header region."""
+    """Shared marker walk: -> (zzs, h, w, qs) with one spectrum + quant
+    table per component.  Reads DQT/DHT/DRI from the file; tolerates 0xFF
+    fill bytes and standalone TEM/RST markers in the header region."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -350,7 +485,7 @@ def _parse(payload: bytes):
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     h = w = None
-    comp_q = 0
+    comp_q: list[int] = []
     restart_interval = 0
     while pos < len(payload) - 1:
         if payload[pos] != 0xFF:
@@ -392,46 +527,63 @@ def _parse(payload: bytes):
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit single-component baseline supported")
-            # per-component bytes: id, sampling factors, quant table id
-            if body[7] != 0x11:
-                raise ValueError("subsampling unsupported for grayscale")
-            comp_q = body[8]
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component baseline supported")
+            comp_q = []
+            for ci in range(ncomp):
+                # per-component bytes: id, sampling factors, quant table id
+                if body[6 + 3 * ci + 1] != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                comp_q.append(body[6 + 3 * ci + 2])
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDA:
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            specs = []
+            for ci in range(ns):
+                tsel = body[2 + 2 * ci]
+                specs.append((dc_tables[tsel >> 4], ac_tables[tsel & 0xF]))
             end = payload.rfind(b"\xff\xd9")
             scan = payload[pos:end if end > 0 else len(payload)]
             ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-            zz = _entropy_decode(
-                scan, (ph // 8) * (pw // 8),
-                dc_tables[comp_dc], ac_tables[comp_ac], restart_interval,
+            zzs = _entropy_decode(
+                scan, (ph // 8) * (pw // 8), specs, restart_interval
             )
-            return zz, h, w, qtables[comp_q]
+            return zzs, h, w, [qtables[t] for t in comp_q]
     raise ValueError("no SOS marker found")
 
 
-def decode_jpeg(payload: bytes):
-    """Baseline grayscale JPEG -> (h, w) uint8.  Reads the DQT/DHT/DRI
-    segments FROM THE FILE (not assumed), handles restart markers and fill
-    bytes, so single-component baseline JPEGs from standard encoders
-    decode — not just this module's output."""
-    zz, h, w, q = _parse(payload)
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+def _channel_pixels(zz: np.ndarray, q: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """(n_blocks, 64) zigzag spectrum + quant table -> (ph, pw) float64."""
     quant = np.zeros_like(zz)
     quant[:, _ZIGZAG] = zz
     coef = quant.reshape(-1, 8, 8).astype(np.float64) * q
     blocks = np.einsum("xu,nuv,yv->nxy", _DCT.T.copy(), coef, _DCT.T.copy())
-    px = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
-    img = (
-        px.reshape(ph // 8, pw // 8, 8, 8).transpose(0, 2, 1, 3).reshape(ph, pw)
+    return (
+        (blocks + 128.0)
+        .reshape(ph // 8, pw // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(ph, pw)
     )
-    return img[:h, :w]
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JPEG -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
+    Reads the DQT/DHT/DRI segments FROM THE FILE (not assumed), handles
+    restart markers and fill bytes — single- or three-component 4:4:4
+    baseline files from standard encoders decode, not just this module's
+    output."""
+    zzs, h, w, qs = _parse(payload)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    chans = [_channel_pixels(zz, q, ph, pw) for zz, q in zip(zzs, qs)]
+    if len(chans) == 1:
+        return np.clip(np.round(chans[0]), 0, 255).astype(np.uint8)[:h, :w]
+    return ycbcr_to_rgb(np.stack(chans, axis=-1))[:h, :w]
 
 
 def decode_jpeg_spectrum(payload: bytes):
-    """The quantized zigzag spectrum as the decoder read it — paired with
-    quantized_blocks() to assert the entropy layer is LOSSLESS."""
-    return _parse(payload)[0]
+    """The quantized zigzag spectrum as the decoder read it — one array for
+    grayscale, a [Y, Cb, Cr] list for color — paired with
+    quantized_blocks(_color) to assert the entropy layer is LOSSLESS."""
+    zzs = _parse(payload)[0]
+    return zzs[0] if len(zzs) == 1 else zzs

@@ -7,9 +7,10 @@ and so are the uncompressed codecs: pure-numpy PGM (P5), PPM (P6) and
 24-bit BMP image decode (``decode_backend='auto'`` sniffs the magic bytes)
 and a chunk-walking RIFF PCM WAV audio codec feeding real spectral features
 (rfft periodogram).  PNG (8-bit gray/RGB, all five scanline filters; stdlib zlib + numpy)
-and baseline grayscale JPEG (operators/jpeg.py — Annex-K tables, full
-entropy codec) are REAL compressed codecs here, no media library.
-Remaining codecs (color/progressive JPEG, MP3/...) defer to
+and baseline JPEG — grayscale AND YCbCr 4:4:4 color — (operators/
+jpeg.py: Annex-K tables, full entropy codec, DRI/RSTn restarts) are REAL
+compressed codecs here, no media library.
+Remaining codecs (subsampled/progressive JPEG, MP3/...) defer to
 PIL/soundfile when present; this container ships no media libraries, so
 ``decode_backend='fake'`` remains available as the deterministic
 hash-seeded stand-in for them.
@@ -535,8 +536,10 @@ def synthetic_assets(
                     else:
                         from .jpeg import encode_jpeg
 
+                        # alternate gray / 4:4:4 color JPEG payloads
+                        shape = (h, w) if (asset_id // 15) % 2 == 0 else (h, w, 3)
                         payload = encode_jpeg(
-                            rng.randint(0, 256, (h, w), dtype=np.uint8), quality=90
+                            rng.randint(0, 256, shape, dtype=np.uint8), quality=90
                         )
                 rows.append(
                     {

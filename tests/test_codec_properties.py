@@ -234,11 +234,11 @@ def test_jpeg_quality_monotone():
     assert psnrs == sorted(psnrs)
 
 
-def test_jpeg_rejects_color_and_garbage():
+def test_jpeg_rejects_bad_shapes_and_garbage():
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8))
+        encode_jpeg(np.zeros((4, 4, 4), dtype=np.uint8))  # RGBA unsupported
     with _pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
 
@@ -275,3 +275,32 @@ def test_jpeg_scan_time_linear_not_quadratic():
     cost(small)  # warm
     ratio = cost(big) / max(cost(small), 1e-9)
     assert ratio < 10.0, ratio  # 4x data: linear ~4x, quadratic was ~16x
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data(), st.integers(1, 24), st.integers(1, 24),
+       st.sampled_from([50, 85, 95]), st.sampled_from([0, 3]))
+def test_jpeg_color_entropy_layer_lossless(data, h, w, quality, interval):
+    """Color (YCbCr 4:4:4) path: the interleaved-MCU entropy layer must
+    reproduce all three quantized spectra exactly, with and without
+    restart markers."""
+    from set_sketch_paper_spark.operators.jpeg import quantized_blocks_color
+
+    rgb = _arr(data.draw, h, w, 3)
+    payload = encode_jpeg(rgb, quality=quality, restart_interval=interval)
+    zz_enc = quantized_blocks_color(rgb, quality)[3]
+    zz_dec = decode_jpeg_spectrum(payload)
+    assert all(np.array_equal(a, b) for a, b in zip(zz_enc, zz_dec))
+    assert decode_jpeg(payload).shape == (h, w, 3)
+
+
+def test_jpeg_color_smooth_psnr():
+    x, y = np.meshgrid(np.arange(40), np.arange(24))
+    rgb = np.stack([
+        (128 + 80 * np.sin(x / 6.0)).astype(np.uint8),
+        (128 + 80 * np.cos(y / 5.0)).astype(np.uint8),
+        (128 + 60 * np.sin((x + y) / 7.0)).astype(np.uint8),
+    ], axis=-1)
+    out = decode_jpeg(encode_jpeg(rgb, quality=90))
+    mse = ((out.astype(float) - rgb.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) > 38.0
