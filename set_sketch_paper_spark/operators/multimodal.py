@@ -222,7 +222,8 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte-sniffing decode of the library-free containers: PGM (P5)
     -> (h, w) uint8, PPM (P6) / 24-bit BMP -> (h, w, 3) uint8 RGB, PNG
-    (8-bit gray/RGB) -> matching shape."""
+    (8-bit gray/RGB) and baseline JPEG (gray / 4:4:4 color) -> matching
+    shape."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
