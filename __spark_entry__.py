@@ -51,7 +51,6 @@ LANG_MARKER_SQL = {
     "de": "['der','die','das','und','ist','von','ein','nicht']",
     "es": "['el','la','de','que','y','en','un','es']",
     "fr": "['le','la','et','les','des','un','une','est']",
-    "zh": "['de5','shi4','le5','zai4','he2']",
 }
 
 
@@ -155,15 +154,20 @@ def _q_pii_redaction(spark, sf_dir):
 
 
 def _q_decontaminate_docs(spark, sf_dir):
-    """n-gram-overlap decontamination: every 100th doc plays the eval/
-    benchmark probe set; the rest of the corpus is flagged when it shares
-    any 5-gram with a probe."""
+    """n-gram-overlap decontamination with a probe set GUARANTEED to overlap
+    the corpus at any SF (ADVICE r4): the eval probes are the 24-token
+    prefixes of every 25th doc — simulating an eval suite partially leaked
+    into the training corpus — so the broadcast semi-join and per-doc hit
+    counting always exercise the positive path (each probe-source doc flags
+    itself, plus its exact/near duplicates)."""
     from set_sketch_paper_spark.operators.chunking import flag_contaminated
 
     docs = _docs(spark, sf_dir)
-    probes = docs.filter(F.col("doc_id") % 100 == 0)
-    corpus = docs.filter(F.col("doc_id") % 100 != 0)
-    return flag_contaminated(corpus, probes, k=5, text_col="text")
+    probes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 24), " ").alias("text"),
+    )
+    return flag_contaminated(docs, probes, k=5, text_col="text")
 
 
 def _q_subtoken_count(spark, sf_dir):
@@ -783,9 +787,14 @@ def _q_training_corpus_build(spark, sf_dir):
     from set_sketch_paper_spark.operators.textstats import with_quality_score
 
     docs = _docs(spark, sf_dir)
-    probes = docs.filter(F.col("doc_id") % 100 == 0)
-    corpus = docs.filter(F.col("doc_id") % 100 != 0)
-    kept = with_quality_score(corpus, "text").filter(F.col("quality_q") >= 600_000)
+    # eval probes = 24-token prefixes of every 25th doc (leaked-eval
+    # simulation; guarantees the decontamination stage actually removes
+    # rows at every SF — ADVICE r4)
+    probes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 24), " ").alias("text"),
+    )
+    kept = with_quality_score(docs, "text").filter(F.col("quality_q") >= 600_000)
     deduped = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     flagged = flag_contaminated(deduped, probes, k=5).select("doc_id")
     clean = deduped.join(flagged, "doc_id", "left_anti")
@@ -945,8 +954,14 @@ def _q_multimodal_resize(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordering contract (VERDICT r4 #1): the driver records correctness for
+    only the FIRST 50 dict entries, so all 36 oracle-backed queries come
+    first, then the 14 highest-value rows-only queries (near-dup / sketch /
+    ANN production paths).  Entries past position 50 are rows-only queries
+    whose accuracy is pinned in tests/ (MC error grids, multimodal codecs,
+    cross-gated sketch twins)."""
     return {
-        # exact / relational (SQL-oracle-backed)
+        # --- oracle-backed (36): driver checks rows+schema+value-hash ---
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_stats": _q_token_stats,
@@ -979,36 +994,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filtered_dedup": _q_quality_filtered_dedup,
         "training_corpus_build": _q_training_corpus_build,
         "supplier_nation_acctbal": _q_supplier_nation_acctbal,
-        # sketch-based (rows-only driver check; accuracy tested in tests/)
+        "incremental_exact_dedup": _q_incremental_exact_dedup,
+        "docs_hash_sample": _q_docs_hash_sample,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_split_counts": _q_docs_split_counts,
+        # --- rows-only, inside the 50-window (14): near-dup / sketch / ANN
+        # production paths; accuracy cross-gated in tests/ ---
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
-        "incremental_exact_dedup": _q_incremental_exact_dedup,
         "incremental_near_dup": _q_incremental_near_dup,
         "lsh_candidates": _q_lsh_candidates,
         "dup_clusters_minhash": _q_dup_clusters_minhash,
         "ghll_distinct_users": _q_ghll_distinct_users,
         "setsketch_doc_cardinality": _q_setsketch_doc_cardinality,
-        "setsketch_distinct_users": _q_setsketch_distinct_users,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_substring_pairs": _q_winnow_substring_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup_pairs_ann": _q_embedding_near_dup_pairs_ann,
         "embedding_near_dup_clusters_ann": _q_embedding_near_dup_clusters_ann,
+        "hmh_doc_cardinality": _q_hmh_doc_cardinality,
+        # --- rows-only, past the 50-window: pytest-pinned accuracy ---
+        "setsketch_distinct_users": _q_setsketch_distinct_users,
         "minhash_est_cardinality": _q_minhash_est_cardinality,
         "ghll_joint_pairs": _q_ghll_joint_pairs,
         "ghll_jaccard_bounds": _q_ghll_jaccard_bounds,
         "ghll_joint_refine": _q_ghll_joint_refine,
-        "hmh_doc_cardinality": _q_hmh_doc_cardinality,
         "cardinality_error_mc": _q_cardinality_error_mc,
         "joint_error_mc": _q_joint_error_mc,
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,
         "audio_features": _q_audio_features,
         "video_frame_stats": _q_video_frame_stats,
-        "docs_hash_sample": _q_docs_hash_sample,
-        "docs_stratified_sample": _q_docs_stratified_sample,
-        "docs_split_counts": _q_docs_split_counts,
         "bbit_signatures": _q_bbit_signatures,
         "hmh_joint_pairs": _q_hmh_joint_pairs,
         "training_pipeline_clusters": _q_training_pipeline_clusters,
@@ -1146,22 +1163,31 @@ WHERE inter_count * {den} >= (n1 + n2 - inter_count) * {num}
 
 
 def _lang_id_sql() -> str:
+    """Mirrors textstats.with_lang_id: CJK character-ratio override for zh
+    (Han-script chars >= 1/CJK_RATIO_DEN of all chars; literal char-class
+    range identical under Java regex and RE2), else marker argmax with
+    first-in-list tie-breaking."""
+    from set_sketch_paper_spark.operators.textstats import CJK_PATTERN, CJK_RATIO_DEN
+
     scores = ",\n         ".join(
-        f"len(list_intersect(list_distinct(string_split(text, ' ')), {markers})) AS s_{lang}"
+        f"len(list_intersect(list_distinct(string_split(coalesce(text, ''), ' ')), {markers})) AS s_{lang}"
         for lang, markers in LANG_MARKER_SQL.items()
     )
     return f"""
 WITH sc AS (
   SELECT doc_id,
-         {scores}
+         {scores},
+         length(coalesce(text, ''))
+           - length(regexp_replace(coalesce(text, ''), '{CJK_PATTERN}', '', 'g')) AS n_cjk,
+         length(coalesce(text, '')) AS n_chars
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
-            WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
-            WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
-            WHEN s_fr >= s_zh THEN 'fr'
-            ELSE 'zh' END AS pred_lang
+       CASE WHEN n_cjk * {CJK_RATIO_DEN} >= greatest(n_chars, 1) THEN 'zh'
+            WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
 FROM sc
 """
 
@@ -1269,13 +1295,14 @@ def oracle_sql() -> dict[str, str]:
             + _CHUNK_U_CTE.format(src="t") + _CHUNK_ROWS_SELECT
         ),
         # full corpus build: quality >= 0.6 -> exact dedup -> 5-gram
-        # decontamination vs every-100th-doc probes -> chunk(24,8) ->
-        # pack(64, 8 buckets); chains the doc_quality / decontaminate_docs /
-        # doc_chunks / packed_sequences oracle CTEs over the same stages
+        # decontamination vs leaked-eval probes (24-token prefixes of every
+        # 25th doc, so the stage removes rows at every SF — ADVICE r4) ->
+        # chunk(24,8) -> pack(64, 8 buckets); chains the doc_quality /
+        # decontaminate_docs / doc_chunks / packed_sequences oracle CTEs
         "training_corpus_build": (
             r"""
         WITH base AS (
-          SELECT doc_id, text FROM documents WHERE doc_id % 100 != 0
+          SELECT doc_id, text FROM documents
         ), st AS (
           SELECT doc_id, text,
                  len(string_split(text, ' ')) AS n_tokens,
@@ -1292,7 +1319,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT text, min(doc_id) AS doc_id FROM q
           WHERE quality_q >= 600000 GROUP BY text
         ), probes AS (
-          SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0
+          SELECT doc_id, array_to_string((string_split(text, ' '))[1:24], ' ') AS text
+          FROM documents WHERE doc_id % 25 = 0
         ), dg AS ("""
             + _gram_select("kept")
             + """
@@ -1325,27 +1353,37 @@ def oracle_sql() -> dict[str, str]:
         # text, replacements sequential)
         "pii_redaction": r"""
         SELECT doc_id,
-               CAST(len(regexp_extract_all(text,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-               CAST(len(regexp_extract_all(text,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
                  '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
-               CAST(len(regexp_extract_all(text,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
                  '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_id_number,
-               regexp_replace(regexp_replace(regexp_replace(text,
+               regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                  '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
                  '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g') AS redacted
         FROM documents
         """,
-        # 5-gram eval-set decontamination; mirrors chunking.flag_contaminated
+        # 5-gram eval-set decontamination; mirrors chunking.flag_contaminated.
+        # Probes = 24-token prefixes of every 25th doc, so overlap (and the
+        # positive join path) is guaranteed at every SF (ADVICE r4).
         "decontaminate_docs": (
-            "WITH g AS (" + _gram_select("documents") + """
+            """
+        WITH probes AS (
+          SELECT doc_id, array_to_string((string_split(text, ' '))[1:24], ' ') AS text
+          FROM documents WHERE doc_id % 25 = 0
+        ), g AS ("""
+            + _gram_select("documents")
+            + """
+        ), pgall AS ("""
+            + _gram_select("probes")
+            + """
         ), pg AS (
-          SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0
+          SELECT DISTINCT gram FROM pgall
         )
         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hit_grams
         FROM g JOIN pg USING (gram)
-        WHERE g.doc_id % 100 != 0
         GROUP BY g.doc_id
         """
         ),

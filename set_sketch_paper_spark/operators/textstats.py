@@ -13,13 +13,22 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType
 
 # marker stopwords per language for the n-gram/stopword language-ID heuristic
+# (space-delimited languages only; CJK scripts are detected by character
+# ratio — see CJK_PATTERN below — because Chinese text is not
+# whitespace-tokenizable)
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
     "de": ["der", "die", "das", "und", "ist", "von", "ein", "nicht"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
     "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
-    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # pinyin-ish placeholder markers
 }
+
+# CJK Unified Ideographs (Han script) as a literal char-class range; the
+# literal characters (not \u escapes) keep the pattern byte-identical under
+# Java regex and RE2, so the zh branch stays oracle-expressible.
+CJK_PATTERN = "[一-鿿]"
+# a doc is zh when >= 5% of its characters are Han ideographs
+CJK_RATIO_DEN = 20
 
 _Q = 1_000_000
 
@@ -68,11 +77,23 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", langs=None) -> DataFrame:
-    """Stopword-marker language ID: count distinct marker tokens present per
-    language (array_intersect on the token set), predict the argmax with
-    deterministic first-in-list tie-breaking."""
+    """Language ID, two-stage:
+
+    1. CJK script detection by character ratio: if >= 1/CJK_RATIO_DEN of the
+       doc's characters are Han ideographs (CJK_PATTERN), predict ``zh`` —
+       Chinese is not whitespace-tokenizable, so stopword markers can never
+       fire on it (the round-4 pinyin placeholder could not either; this is
+       the honest fix).
+    2. Otherwise stopword-marker argmax over the space-delimited languages
+       (array_intersect on the distinct token set), deterministic
+       first-in-list tie-breaking.
+
+    All built-in expressions (whole-stage codegen, zero Python, zero
+    shuffle); the CJK branch is exact integer arithmetic so the result
+    hash-matches the DuckDB oracle."""
     langs = langs or list(LANG_MARKERS)
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.array_distinct(F.split(txt, " "))
     d = df
     for lang in langs:
         markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
@@ -85,6 +106,12 @@ def with_lang_id(df: DataFrame, text_col: str = "text", langs=None) -> DataFrame
             F.col(f"_score_{lang}") >= later[0]
         )
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    n_chars = F.length(txt)
+    n_cjk = n_chars - F.length(F.regexp_replace(txt, CJK_PATTERN, ""))
+    # strict vs greatest(n_chars,1): empty text has n_cjk=0 and must NOT be zh
+    pred = F.when(
+        n_cjk * F.lit(CJK_RATIO_DEN) >= F.greatest(n_chars, F.lit(1)), F.lit("zh")
+    ).otherwise(pred)
     d = d.withColumn("pred_lang", pred)
     return d.drop(*[f"_score_{lang}" for lang in langs])
 
@@ -177,13 +204,18 @@ def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
     zero shuffle, whole-stage codegen.  Counts are taken on the ORIGINAL
     text; replacements apply in PII_PATTERNS order on a running column.
     Output adds: redacted (string), n_email / n_ipv4 / n_id_number (long).
+    NULL text is treated as empty (without the coalesce,
+    size(regexp_extract_all(NULL)) yields -1 counts and a NULL redacted
+    column — inconsistent with the NULL handling in chunk_documents /
+    with_repetition_stats).
     """
-    red = F.col(text_col)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    red = txt
     out = df
     for name, pat, repl in PII_PATTERNS:
         out = out.withColumn(
             f"n_{name}",
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast(LongType()),
+            F.size(F.regexp_extract_all(txt, F.lit(pat), 0)).cast(LongType()),
         )
         red = F.regexp_replace(red, pat, repl)
     return out.withColumn("redacted", red)

@@ -49,12 +49,33 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLE_KEYS) <= set(ALL_KEYS)
 
 
+def test_oracle_backed_queries_lead_the_dict():
+    """The driver records correctness rows for only the FIRST 50 queries()
+    entries (verified round 4) — every oracle-backed query must sit inside
+    that window, and the leading block must be exactly the oracle set so no
+    reordering silently drops an oracle query out of driver coverage."""
+    ordered = list(entrymod.queries().keys())
+    oracle = set(entrymod.oracle_sql().keys())
+    assert set(ordered[: len(oracle)]) == oracle, (
+        "oracle-backed queries must occupy the leading dict positions"
+    )
+    assert len(oracle) <= 50
+
+
+# queries whose oracle gate is vacuous when empty (a 0==0 match would not
+# exercise the join path — ADVICE r4 on decontaminate_docs); their probe
+# construction guarantees hits at every SF, and this pins that guarantee
+MUST_BE_NONEMPTY = {"decontaminate_docs", "training_corpus_build"}
+
+
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
     got = q(spark, SF_DIR).toPandas()
     want = duck.execute(sql).fetchdf()
+    if name in MUST_BE_NONEMPTY:
+        assert len(got) > 0, f"{name}: oracle gate is vacuous on empty output"
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
     )

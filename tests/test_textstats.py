@@ -1,0 +1,77 @@
+"""Unit tests for text-stats operators: language-ID (incl. planted CJK),
+PII redaction NULL handling.
+
+Reference parity: the reference repo has no lang-ID/PII operators; these are
+LLM-pipeline additions.  The oracle queries (`lang_id`, `pii_redaction`)
+hash-gate them against DuckDB; these units pin the corners the bench corpus
+cannot reach (real Han-script text, NULL/empty documents).
+"""
+
+from __future__ import annotations
+
+from set_sketch_paper_spark.operators.textstats import (
+    CJK_RATIO_DEN,
+    with_lang_id,
+    with_pii_redacted,
+)
+
+# real Han-script sentences (public-domain classical openings)
+ZH_DOCS = [
+    "学而时习之 不亦说乎",
+    "道可道 非常道 名可名 非常名",
+    "子曰 三人行必有我师焉",
+]
+
+
+def _pred(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = with_lang_id(df).select("doc_id", "pred_lang").collect()
+    return {r["doc_id"]: r["pred_lang"] for r in out}
+
+
+def test_lang_id_detects_planted_cjk(spark):
+    rows = [(i, t) for i, t in enumerate(ZH_DOCS)]
+    rows += [
+        (10, "the cat and the dog sat in the garden"),
+        (11, "der Hund und die Katze ist von hier"),
+        (12, "el perro y la casa de que es un gato"),
+        (13, "le chat et les chiens des villes est une"),
+    ]
+    got = _pred(spark, rows)
+    for i in range(len(ZH_DOCS)):
+        assert got[i] == "zh", f"doc {i} ({ZH_DOCS[i]!r}) -> {got[i]}"
+    assert got[10] == "en" and got[11] == "de" and got[12] == "es" and got[13] == "fr"
+
+
+def test_lang_id_cjk_ratio_threshold(spark):
+    """A mostly-Latin doc with a stray ideograph stays Latin; the zh branch
+    fires only at >= 1/CJK_RATIO_DEN Han-character ratio."""
+    latin = "the quick brown fox jumps over the lazy dog " * 3  # ~132 chars
+    sprinkled = latin + "道"  # 1 Han char, ratio << 1/20
+    dense = "道" * CJK_RATIO_DEN  # ratio 1.0
+    got = _pred(spark, [(0, sprinkled), (1, dense)])
+    assert got[0] == "en"
+    assert got[1] == "zh"
+
+
+def test_lang_id_null_and_empty_not_zh(spark):
+    got = _pred(spark, [(0, None), (1, ""), (2, "   ")])
+    # 0 CJK chars out of max(n,1) never reaches the threshold
+    assert got[0] != "zh" and got[1] != "zh" and got[2] != "zh"
+
+
+def test_pii_redacted_null_text(spark):
+    """NULL text must behave as empty: zero counts, empty redacted (ADVICE
+    r4 — without the coalesce, counts were -1 and redacted NULL)."""
+    df = spark.createDataFrame(
+        [(0, None), (1, "mail a@b.com ip 10.0.0.1 id 123-45-6789")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in with_pii_redacted(df).collect()}
+    assert rows[0]["n_email"] == 0
+    assert rows[0]["n_ipv4"] == 0
+    assert rows[0]["n_id_number"] == 0
+    assert rows[0]["redacted"] == ""
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ipv4"] == 1
+    assert rows[1]["n_id_number"] == 1
+    assert rows[1]["redacted"] == "mail <EMAIL> ip <IP> id <ID>"
