@@ -1,13 +1,15 @@
-"""Baseline JPEG codec (8-bit grayscale + YCbCr 4:4:4 color) in pure
-numpy + stdlib — no media library.
+"""Baseline JPEG codec (8-bit grayscale + YCbCr color, 4:4:4 / 4:2:0 /
+4:2:2 chroma subsampling) in pure numpy + stdlib — no media library.
 
-Scope: ITU-T T.81 baseline sequential DCT, 1 or 3 components with no
-subsampling, standard Annex-K quantization and Huffman tables (the
-spec's published example tables, emitted in DQT/DHT so any conforming
-reader decodes the output), optional restart markers (DRI/RSTn) on both
-encode and decode.  Enough to read/write real .jpg files for image
-corpora; the subsampled / progressive space stays PIL-gated
-(multimodal.py).
+Scope: ITU-T T.81 baseline sequential DCT, 1 or 3 components with
+per-component sampling factors and interleaved MCUs (A.2.3), standard
+Annex-K quantization and Huffman tables (the spec's published example
+tables, emitted in DQT/DHT so any conforming reader decodes the output),
+optional restart markers (DRI/RSTn) on both encode and decode.  Decode
+accepts any integer sampling ratio (nearest-neighbor chroma upsample);
+encode offers (1,1) / (2,2) / (2,1) luma factors.  Enough to read/write
+real .jpg files — including the dominant 4:2:0 camera format — for image
+corpora; progressive (SOF2) stays PIL-gated (multimodal.py).
 
 Encode: 8x8 blocks -> level shift -> orthonormal 2D DCT (one einsum for
 ALL blocks) -> quantize -> zigzag -> DC differences + AC run-length ->
@@ -223,9 +225,15 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self):
+        # bounds-checked: entropy data cut short must surface as the same
+        # ValueError malformed-media callers already catch, not IndexError
+        if self.pos >= len(self.data):
+            raise ValueError("truncated scan")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:  # unstuff
+            if self.pos >= len(self.data):
+                raise ValueError("truncated scan")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1
@@ -277,18 +285,42 @@ def _zz_of_channel(channel: np.ndarray, q: np.ndarray) -> np.ndarray:
     return quant.reshape(-1, 64)[:, _ZIGZAG]
 
 
-def _pad_edge(a: np.ndarray):
+def _pad_edge(a: np.ndarray, mv: int = 8, mh: int = 8):
+    """Edge-pad to multiples of (mv, mh) — 8 for plain blocks, 8*V / 8*H so
+    subsampled MCUs tile exactly."""
     h, w = a.shape[:2]
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    ph, pw = (h + mv - 1) // mv * mv, (w + mh - 1) // mh * mh
     pad = ((0, ph - h), (0, pw - w)) + ((0, 0),) * (a.ndim - 2)
     return np.pad(a, pad, mode="edge"), ph, pw
+
+
+def _downsample_box(ch: np.ndarray, vf: int, hf: int) -> np.ndarray:
+    """Box-average downsample a (ph, pw) plane by integer factors (vf, hf) —
+    the standard chroma-subsampling filter (ITU T.81 A.1.1 leaves the
+    filter to the encoder; box average is what libjpeg's h2v2 path uses)."""
+    if vf == 1 and hf == 1:
+        return ch
+    ph, pw = ch.shape
+    return ch.reshape(ph // vf, vf, pw // hf, hf).mean(axis=(1, 3))
+
+
+def _mcu_order(bh: int, bw: int, hi: int, vi: int) -> np.ndarray:
+    """Plane-raster block indices in MCU interleave order (T.81 A.2.3) for a
+    component with plane block grid (bh, bw) and sampling factors (hi, vi):
+    MCUs raster-scan, and within each MCU the component contributes its
+    vi x hi sub-grid of blocks top-to-bottom, left-to-right."""
+    my, mx, v, hh = np.meshgrid(
+        np.arange(bh // vi), np.arange(bw // hi),
+        np.arange(vi), np.arange(hi), indexing="ij",
+    )
+    return ((my * vi + v) * bw + (mx * hi + hh)).reshape(-1)
 
 
 def quantized_blocks(img: np.ndarray, quality: int = 85):
     """(padded_h, padded_w, q, zz) — the encoder's quantized zigzag spectrum
     for every 8x8 block of a GRAYSCALE image, exposed so tests can assert
-    the lossless layer (entropy coding) inverts EXACTLY.  For color use
-    quantized_blocks_color."""
+    the lossless layer (entropy coding) inverts EXACTLY.  For color (incl.
+    subsampled) use quantized_blocks_color."""
     a = np.asarray(img, dtype=np.uint8)
     padded, ph, pw = _pad_edge(a)
     q = _scaled_qtable(quality)
@@ -300,16 +332,25 @@ def _chroma_qtable(quality: int) -> np.ndarray:
     return np.clip((_QTABLE_CHROMA * scale + 50) // 100, 1, 255)
 
 
-def quantized_blocks_color(img: np.ndarray, quality: int = 85):
-    """Color analog: (ph, pw, [q_luma, q_chroma], [zz_y, zz_cb, zz_cr])."""
+def quantized_blocks_color(img: np.ndarray, quality: int = 85, sampling=(1, 1)):
+    """Color analog: (ph, pw, [q_luma, q_chroma], [zz_y, zz_cb, zz_cr]).
+
+    ``sampling`` is the luma (H, V) sampling-factor pair — (1, 1) = 4:4:4,
+    (2, 2) = 4:2:0, (2, 1) = 4:2:2; chroma is always (1, 1).  Chroma planes
+    are box-downsampled by the luma factors, so each component's spectrum is
+    at COMPONENT resolution, blocks in plane-raster order; ph/pw are the
+    padded LUMA dims (multiples of 8*V / 8*H so MCUs tile exactly)."""
+    hf, vf = sampling
+    if hf not in (1, 2) or vf not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
     a = np.asarray(img, dtype=np.uint8)
-    padded, ph, pw = _pad_edge(a)
+    padded, ph, pw = _pad_edge(a, 8 * vf, 8 * hf)
     ycc = rgb_to_ycbcr(padded)
     ql, qc = _scaled_qtable(quality), _chroma_qtable(quality)
     zzs = [
         _zz_of_channel(ycc[..., 0], ql),
-        _zz_of_channel(ycc[..., 1], qc),
-        _zz_of_channel(ycc[..., 2], qc),
+        _zz_of_channel(_downsample_box(ycc[..., 1], vf, hf), qc),
+        _zz_of_channel(_downsample_box(ycc[..., 2], vf, hf), qc),
     ]
     return ph, pw, [ql, qc], zzs
 
@@ -353,9 +394,15 @@ def _dqt_seg(tq: int, q: np.ndarray) -> bytes:
     return _seg(0xDB, bytes([tq]) + bytes(int(x) for x in qz))
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    sampling=(1, 1),
+) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF JPEG bytes
-    (color = YCbCr 4:4:4, Annex-K luma + chroma tables).
+    (color = YCbCr with luma ``sampling`` (H, V): (1, 1) = 4:4:4, (2, 2) =
+    4:2:0, (2, 1) = 4:2:2; Annex-K luma + chroma tables).
 
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker every
     that many MCUs (what cameras/libjpeg produce for error resilience)."""
@@ -363,7 +410,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
     if a.ndim == 2:
         h, w = a.shape
         ph, pw, q, zz = quantized_blocks(a, quality)
-        zzs, mcu_specs = [zz], [(_DC_CODES, _AC_CODES)]
+        # (dc_codes, ac_codes, blocks_per_mcu, zz in MCU order)
+        mcu_specs = [(_DC_CODES, _AC_CODES, 1, zz)]
+        n_mcus = len(zz)
         header = (
             _dqt_seg(0, q)
             + _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
@@ -372,20 +421,25 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
         )
         sos = bytes([1, 1, 0x00, 0, 63, 0])
     elif a.ndim == 3 and a.shape[2] == 3:
+        hf, vf = sampling
         h, w = a.shape[:2]
-        ph, pw, (ql, qc), zzs = quantized_blocks_color(a, quality)
+        ph, pw, (ql, qc), zzs = quantized_blocks_color(a, quality, sampling)
+        # luma blocks leave plane-raster order for MCU interleave order;
+        # chroma at (1, 1) contributes one block per MCU (identity order)
+        luma_seq = zzs[0][_mcu_order(ph // 8, pw // 8, hf, vf)]
         mcu_specs = [
-            (_DC_CODES, _AC_CODES),
-            (_DC_CODES_C, _AC_CODES_C),
-            (_DC_CODES_C, _AC_CODES_C),
+            (_DC_CODES, _AC_CODES, hf * vf, luma_seq),
+            (_DC_CODES_C, _AC_CODES_C, 1, zzs[1]),
+            (_DC_CODES_C, _AC_CODES_C, 1, zzs[2]),
         ]
+        n_mcus = len(zzs[1])
         header = (
             _dqt_seg(0, ql)
             + _dqt_seg(1, qc)
             + _seg(
                 0xC0,
                 struct.pack(">BHHB", 8, h, w, 3)
-                + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+                + bytes([1, (hf << 4) | vf, 0, 2, 0x11, 1, 3, 0x11, 1]),
             )
             + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
             + _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
@@ -396,19 +450,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
     else:
         raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB uint8")
 
-    n_mcus = len(zzs[0])
     bw = _BitWriter()
-    prev_dc = [0] * len(zzs)
+    prev_dc = [0] * len(mcu_specs)
     rst = 0
     for n in range(n_mcus):
         if restart_interval and n and n % restart_interval == 0:
             bw.restart(rst)
             rst = (rst + 1) & 7
-            prev_dc = [0] * len(zzs)
-        for ci, (dc_codes, ac_codes) in enumerate(mcu_specs):
-            prev_dc[ci] = _encode_block(
-                bw, zzs[ci][n], prev_dc[ci], dc_codes, ac_codes
-            )
+            prev_dc = [0] * len(mcu_specs)
+        for ci, (dc_codes, ac_codes, nb, seq) in enumerate(mcu_specs):
+            for b in range(nb):
+                prev_dc[ci] = _encode_block(
+                    bw, seq[n * nb + b], prev_dc[ci], dc_codes, ac_codes
+                )
     scan = bw.flush()
 
     out = (
@@ -434,38 +488,44 @@ def _decode_huffman(reader: _BitReader, table) -> int:
 
 
 def _entropy_decode(scan, n_mcus, specs, restart_interval):
-    """scan bytes -> [per-component (n_mcus, 64) spectra].  ``specs`` is one
-    (dc_dec, ac_dec) pair per component in MCU interleave order.  Restart
-    markers (if declared via DRI, counted in MCUs) byte-align and reset
-    every DC predictor."""
+    """scan bytes -> [per-component (n_mcus * blocks_per_mcu, 64) spectra in
+    MCU interleave order].  ``specs`` is one (dc_dec, ac_dec, h_i, v_i)
+    tuple per component; each MCU carries h_i*v_i blocks of that component
+    (T.81 A.2.3).  Restart markers (if declared via DRI, counted in MCUs)
+    byte-align and reset every DC predictor."""
     segments = _RST_RE.split(scan) if restart_interval else [scan]
     ncomp = len(specs)
-    zzs = [np.zeros((n_mcus, 64), dtype=np.int64) for _ in range(ncomp)]
+    nbs = [hi * vi for _, _, hi, vi in specs]
+    zzs = [np.zeros((n_mcus * nb, 64), dtype=np.int64) for nb in nbs]
+    seq = [0] * ncomp
     m = 0
     for segment in segments:
         reader = _BitReader(segment)
         prev_dc = [0] * ncomp
         expect = min(restart_interval, n_mcus - m) if restart_interval else n_mcus
         for _ in range(expect):
-            for ci, (dc_dec, ac_dec) in enumerate(specs):
-                cat = _decode_huffman(reader, dc_dec)
-                prev_dc[ci] += _extend(reader.read_bits(cat), cat)
+            for ci, (dc_dec, ac_dec, _hi, _vi) in enumerate(specs):
                 zz = zzs[ci]
-                zz[m, 0] = prev_dc[ci]
-                i = 1
-                while i < 64:
-                    sym = _decode_huffman(reader, ac_dec)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, cat = sym >> 4, sym & 0xF
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run overflows block")
-                    zz[m, i] = _extend(reader.read_bits(cat), cat)
-                    i += 1
+                for _b in range(nbs[ci]):
+                    cat = _decode_huffman(reader, dc_dec)
+                    prev_dc[ci] += _extend(reader.read_bits(cat), cat)
+                    s = seq[ci]
+                    zz[s, 0] = prev_dc[ci]
+                    i = 1
+                    while i < 64:
+                        sym = _decode_huffman(reader, ac_dec)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            i += 16
+                            continue
+                        run, cat = sym >> 4, sym & 0xF
+                        i += run
+                        if i > 63:
+                            raise ValueError("AC run overflows block")
+                        zz[s, i] = _extend(reader.read_bits(cat), cat)
+                        i += 1
+                    seq[ci] = s + 1
             m += 1
         if m >= n_mcus:
             break
@@ -475,9 +535,12 @@ def _entropy_decode(scan, n_mcus, specs, restart_interval):
 
 
 def _parse(payload: bytes):
-    """Shared marker walk: -> (zzs, h, w, qs) with one spectrum + quant
-    table per component.  Reads DQT/DHT/DRI from the file; tolerates 0xFF
-    fill bytes and standalone TEM/RST markers in the header region."""
+    """Shared marker walk: -> (zzs, h, w, qs, comps, mcu_grid) with one
+    plane-raster-order spectrum + quant table per component and comps =
+    [(h_i, v_i)] sampling factors.  Reads DQT/DHT/DRI from the file;
+    tolerates 0xFF fill bytes and standalone TEM/RST markers in the header
+    region; malformed / truncated input raises ValueError (never
+    IndexError) so media-decode callers can catch one type."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -486,6 +549,7 @@ def _parse(payload: bytes):
     ac_tables: dict[int, dict] = {}
     h = w = None
     comp_q: list[int] = []
+    comps: list[tuple[int, int]] = []
     restart_interval = 0
     while pos < len(payload) - 1:
         if payload[pos] != 0xFF:
@@ -493,14 +557,20 @@ def _parse(payload: bytes):
         # spec-legal fill bytes: any number of 0xFF before the marker code
         while payload[pos + 1] == 0xFF:
             pos += 1
+            if pos + 1 >= len(payload):
+                raise ValueError("truncated header (fill bytes to EOF)")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RST: standalone
             pos += 2
             continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated segment header")
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated segment body")
         pos += 2 + ln
         if marker == 0xDB:
             off = 0
@@ -518,6 +588,8 @@ def _parse(payload: bytes):
                 tc, th = body[off] >> 4, body[off] & 0xF
                 bits = list(body[off + 1:off + 17])
                 n = sum(bits)
+                if len(bits) < 16 or off + 17 + n > len(body):
+                    raise ValueError("truncated DHT")
                 vals = list(body[off + 17:off + 17 + n])
                 codes = _build_codes(bits, vals)
                 dec = {(lnn, c): s for s, (c, lnn) in codes.items()}
@@ -526,30 +598,61 @@ def _parse(payload: bytes):
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xC0:
+            if len(body) < 6:
+                raise ValueError("truncated SOF0")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or ncomp not in (1, 3):
                 raise ValueError("only 8-bit 1- or 3-component baseline supported")
-            comp_q = []
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component list")
+            comp_q, comps = [], []
             for ci in range(ncomp):
                 # per-component bytes: id, sampling factors, quant table id
-                if body[6 + 3 * ci + 1] != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                hv = body[6 + 3 * ci + 1]
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {hi}x{vi}")
+                comps.append((hi, vi))
                 comp_q.append(body[6 + 3 * ci + 2])
+            if ncomp == 1:
+                # single-component scans are non-interleaved: data is a
+                # plain 8x8 block grid whatever the SOF sampling bytes say
+                comps = [(1, 1)]
+            hmax = max(hi for hi, _ in comps)
+            vmax = max(vi for _, vi in comps)
+            if any(hmax % hi or vmax % vi for hi, vi in comps):
+                raise ValueError("non-integer sampling ratios unsupported")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDA:
+            if h is None:
+                raise ValueError("SOS before SOF0")
             ns = body[0]
+            if ns != len(comps):
+                raise ValueError("only single interleaved scan supported")
             specs = []
             for ci in range(ns):
                 tsel = body[2 + 2 * ci]
-                specs.append((dc_tables[tsel >> 4], ac_tables[tsel & 0xF]))
+                if tsel >> 4 not in dc_tables or tsel & 0xF not in ac_tables:
+                    raise ValueError("scan references undefined Huffman table")
+                hi, vi = comps[ci]
+                specs.append((dc_tables[tsel >> 4], ac_tables[tsel & 0xF], hi, vi))
             end = payload.rfind(b"\xff\xd9")
             scan = payload[pos:end if end > 0 else len(payload)]
-            ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-            zzs = _entropy_decode(
-                scan, (ph // 8) * (pw // 8), specs, restart_interval
-            )
-            return zzs, h, w, [qtables[t] for t in comp_q]
+            # MCU grid at max sampling; each component's padded plane is
+            # its (vi, hi) fraction of the (hm*8*vmax, wm*8*hmax) canvas
+            hm = (h + 8 * vmax - 1) // (8 * vmax)
+            wm = (w + 8 * hmax - 1) // (8 * hmax)
+            if any(t not in qtables for t in comp_q):
+                raise ValueError("component references undefined quant table")
+            zzs_seq = _entropy_decode(scan, hm * wm, specs, restart_interval)
+            zzs = []
+            for (hi, vi), zz in zip(comps, zzs_seq):
+                order = _mcu_order(hm * vi, wm * hi, hi, vi)
+                plane = np.empty_like(zz)
+                plane[order] = zz  # MCU interleave -> plane raster
+                zzs.append(plane)
+            return zzs, h, w, [qtables[t] for t in comp_q], comps, (hm, wm)
     raise ValueError("no SOS marker found")
 
 
@@ -570,20 +673,32 @@ def _channel_pixels(zz: np.ndarray, q: np.ndarray, ph: int, pw: int) -> np.ndarr
 def decode_jpeg(payload: bytes):
     """Baseline JPEG -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
     Reads the DQT/DHT/DRI segments FROM THE FILE (not assumed), handles
-    restart markers and fill bytes — single- or three-component 4:4:4
-    baseline files from standard encoders decode, not just this module's
-    output."""
-    zzs, h, w, qs = _parse(payload)
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    chans = [_channel_pixels(zz, q, ph, pw) for zz, q in zip(zzs, qs)]
+    restart markers, fill bytes, and per-component sampling factors with
+    integer ratios — 4:4:4, 4:2:0, 4:2:2 (and 4:4:0) files from standard
+    encoders decode, not just this module's output.  Subsampled chroma is
+    nearest-neighbor upsampled to the luma grid (ITU T.81 A.2)."""
+    zzs, h, w, qs, comps, (hm, wm) = _parse(payload)
+    hmax = max(hi for hi, _ in comps)
+    vmax = max(vi for _, vi in comps)
+    chans = []
+    for (hi, vi), zz, q in zip(comps, zzs, qs):
+        plane = _channel_pixels(zz, q, hm * vi * 8, wm * hi * 8)
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        chans.append(plane)
     if len(chans) == 1:
         return np.clip(np.round(chans[0]), 0, 255).astype(np.uint8)[:h, :w]
     return ycbcr_to_rgb(np.stack(chans, axis=-1))[:h, :w]
 
 
 def decode_jpeg_spectrum(payload: bytes):
-    """The quantized zigzag spectrum as the decoder read it — one array for
+    """The quantized zigzag spectrum as the decoder read it, per component
+    at COMPONENT resolution in plane-raster block order — one array for
     grayscale, a [Y, Cb, Cr] list for color — paired with
-    quantized_blocks(_color) to assert the entropy layer is LOSSLESS."""
+    quantized_blocks(_color) to assert the entropy layer is LOSSLESS (the
+    pairing holds for subsampled files too: both sides order blocks
+    plane-raster after the MCU de-interleave)."""
     zzs = _parse(payload)[0]
     return zzs[0] if len(zzs) == 1 else zzs

@@ -7,8 +7,9 @@ and so are the uncompressed codecs: pure-numpy PGM (P5), PPM (P6) and
 24-bit BMP image decode (``decode_backend='auto'`` sniffs the magic bytes)
 and a chunk-walking RIFF PCM WAV audio codec feeding real spectral features
 (rfft periodogram).  PNG (8-bit gray/RGB, all five scanline filters; stdlib zlib + numpy)
-and baseline JPEG — grayscale AND YCbCr 4:4:4 color — (operators/
-jpeg.py: Annex-K tables, full entropy codec, DRI/RSTn restarts) are REAL
+and baseline JPEG — grayscale AND YCbCr color at 4:4:4 / 4:2:0 / 4:2:2 —
+(operators/jpeg.py: Annex-K tables, full entropy codec, interleaved
+subsampled MCUs, DRI/RSTn restarts) are REAL
 compressed codecs here, no media library.
 Remaining codecs (subsampled/progressive JPEG, MP3/...) defer to
 PIL/soundfile when present; this container ships no media libraries, so
@@ -222,8 +223,8 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte-sniffing decode of the library-free containers: PGM (P5)
     -> (h, w) uint8, PPM (P6) / 24-bit BMP -> (h, w, 3) uint8 RGB, PNG
-    (8-bit gray/RGB) and baseline JPEG (gray / 4:4:4 color) -> matching
-    shape."""
+    (8-bit gray/RGB) and baseline JPEG (gray / 4:4:4 / 4:2:0 / 4:2:2
+    color) -> matching shape."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
@@ -537,11 +538,20 @@ def synthetic_assets(
                     else:
                         from .jpeg import encode_jpeg
 
-                        # alternate gray / 4:4:4 color JPEG payloads
-                        shape = (h, w) if (asset_id // 15) % 2 == 0 else (h, w, 3)
-                        payload = encode_jpeg(
-                            rng.randint(0, 256, shape, dtype=np.uint8), quality=90
-                        )
+                        # cycle gray / 4:4:4 / 4:2:0 / 4:2:2 JPEG payloads
+                        jv = (asset_id // 15) % 4
+                        if jv == 0:
+                            payload = encode_jpeg(
+                                rng.randint(0, 256, (h, w), dtype=np.uint8),
+                                quality=90,
+                            )
+                        else:
+                            samp = [(1, 1), (2, 2), (2, 1)][jv - 1]
+                            payload = encode_jpeg(
+                                rng.randint(0, 256, (h, w, 3), dtype=np.uint8),
+                                quality=90,
+                                sampling=samp,
+                            )
                 rows.append(
                     {
                         "asset_id": asset_id,

@@ -304,3 +304,85 @@ def test_jpeg_color_smooth_psnr():
     out = decode_jpeg(encode_jpeg(rgb, quality=90))
     mse = ((out.astype(float) - rgb.astype(float)) ** 2).mean()
     assert 10 * np.log10(255.0**2 / mse) > 38.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data(), st.integers(1, 24), st.integers(1, 24),
+       st.sampled_from([(2, 2), (2, 1)]),
+       st.sampled_from([50, 85, 95]), st.sampled_from([0, 3]))
+def test_jpeg_subsampled_entropy_layer_lossless(data, h, w, samp, quality, interval):
+    """4:2:0 / 4:2:2 path: interleaved MCUs carry hf*vf luma blocks plus one
+    block per chroma component; the entropy layer must reproduce all three
+    component-resolution spectra exactly (plane-raster order on both
+    sides), with and without restart markers."""
+    from set_sketch_paper_spark.operators.jpeg import quantized_blocks_color
+
+    rgb = _arr(data.draw, h, w, 3)
+    payload = encode_jpeg(rgb, quality=quality, restart_interval=interval,
+                          sampling=samp)
+    zz_enc = quantized_blocks_color(rgb, quality, samp)[3]
+    zz_dec = decode_jpeg_spectrum(payload)
+    assert all(np.array_equal(a, b) for a, b in zip(zz_enc, zz_dec))
+    # luma spectrum has samp[0]*samp[1] times the chroma block count
+    assert len(zz_dec[0]) == samp[0] * samp[1] * len(zz_dec[1])
+    assert decode_jpeg(payload).shape == (h, w, 3)
+
+
+def test_jpeg_subsampled_smooth_psnr():
+    """4:2:0 and 4:2:2 decode of a smooth image stays visually faithful
+    (chroma is genuinely quarter-/half-res: expect a bit below the 4:4:4
+    figure but far above noise)."""
+    x, y = np.meshgrid(np.arange(40), np.arange(24))
+    rgb = np.stack([
+        (128 + 80 * np.sin(x / 6.0)).astype(np.uint8),
+        (128 + 80 * np.cos(y / 5.0)).astype(np.uint8),
+        (128 + 60 * np.sin((x + y) / 7.0)).astype(np.uint8),
+    ], axis=-1)
+    for samp in [(2, 2), (2, 1)]:
+        out = decode_jpeg(encode_jpeg(rgb, quality=90, sampling=samp))
+        mse = ((out.astype(float) - rgb.astype(float)) ** 2).mean()
+        assert 10 * np.log10(255.0**2 / mse) > 30.0, samp
+
+
+def test_jpeg_subsampled_via_decode_image():
+    """The multimodal sniffing path handles subsampled payloads end-to-end
+    (the round-4 NotImplementedError gate is gone for 4:2:0/4:2:2)."""
+    rng = np.random.RandomState(5)
+    rgb = np.clip(
+        128 + 40 * np.sin(np.arange(17 * 23 * 3).reshape(17, 23, 3) / 11.0)
+        + rng.randint(-5, 5, (17, 23, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    out = decode_image(encode_jpeg(rgb, quality=90, sampling=(2, 2)))
+    assert out.shape == (17, 23, 3)
+    assert out.dtype == np.uint8
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data(), st.integers(0, 400))
+def test_jpeg_truncation_raises_valueerror(data, frac):
+    """EVERY truncation point of a valid subsampled+restart-marker file must
+    raise ValueError (never IndexError) — the malformed-media contract
+    (ADVICE r4): callers catch one exception type for all corrupt inputs."""
+    rng = np.random.RandomState(9)
+    rgb = rng.randint(0, 256, (18, 18, 3), dtype=np.uint8)
+    payload = encode_jpeg(rgb, quality=85, restart_interval=2, sampling=(2, 2))
+    cut = 2 + (frac * (len(payload) - 3)) // 401
+    try:
+        decode_jpeg(payload[:cut])
+    except ValueError:
+        pass  # the contract
+    # no exception is fine too (a cut at EOI can still parse)
+
+
+def test_jpeg_trailing_ff_raises_valueerror():
+    """A file ending mid-fill-bytes (0xFF run to EOF) must raise ValueError,
+    not IndexError, from the header marker walk."""
+    rng = np.random.RandomState(9)
+    payload = encode_jpeg(rng.randint(0, 256, (8, 8), dtype=np.uint8))
+    for tail in (b"\xff", b"\xff\xff\xff"):
+        try:
+            decode_jpeg(payload[:20] + tail)
+        except ValueError:
+            continue
+        raise AssertionError("expected ValueError on truncated fill bytes")
