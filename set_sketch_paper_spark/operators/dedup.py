@@ -408,3 +408,108 @@ def simhash_near_dup_pairs(
         .select("id1", "id2", "hamming")
     )
     return pairs
+
+def lcs_substring_pairs(
+    df: DataFrame,
+    L: int = 16,
+    min_len: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_cap: int = 1000,
+) -> DataFrame:
+    """EXACT maximal shared substrings between document pairs via char-L-gram
+    diagonal islands — the distributed equivalent of a cross-document
+    suffix-array LCP pass (sketchlib/suffix.py holds the per-document SA+LCP
+    kernels and documents why a corpus-global SA does not distribute).
+
+    Two docs share a substring of length S >= L iff they share a run of
+    S - L + 1 positionally-consecutive character L-grams on one diagonal
+    (pos1 - pos2 constant).  So: explode (id, pos, xxhash64(L-gram)) —
+    narrow, one index entry per character, the same total index cost as a
+    suffix array — then ONE shuffle groups positions per gram (capped
+    bucket-expand, same skew guard as shared_key_pair_counts: boilerplate
+    grams in > gram_cap positions are dropped), pair expansion keeps both
+    positions, and runs are found per (id1, id2, diag) with a sort_array +
+    aggregate scan (all JVM-side; no window over the corpus).
+
+    Output: (id1 < id2, max_shared_len, n_spans) where max_shared_len is the
+    EXACT longest common substring length (>= min_len) and n_spans counts
+    maximal shared-run occurrences of length >= min_len across diagonals.
+    Joins on the 64-bit gram hash, not the gram string (ngram_jaccard_pairs'
+    shuffle-bytes argument, dedup.py:281-287); a hash collision can only
+    seed a length-1 island, invisible unless min_len == L.
+
+    Reference parity: set-sketch-paper evaluates Jaccard over shingle sets
+    (sketch.hpp registerValue/joint estimation); this operator is the
+    exact-substring analog its substring-level dedup pass needs at corpus
+    scale.  DuckDB oracle: same construction with a string-gram join and a
+    ROW_NUMBER island trick (__spark_entry__.oracle_sql()['lcs_substring_pairs']).
+    """
+    from ..operators.signatures import widen_if_narrow
+
+    min_run = min_len - L + 1
+    if min_run < 1:
+        raise ValueError(f"min_len ({min_len}) must be >= L ({L})")
+    t = widen_if_narrow(df).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    )
+    grams = (
+        t.filter(F.length("_t") >= L)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_t) - {L} + 1), "
+                    f"i -> struct(cast(i as bigint) as pos, "
+                    f"xxhash64(substring(_t, i, {L})) as g))"
+                )
+            ).alias("e"),
+        )
+        .select("_id", "e.pos", "e.g")
+    )
+    buckets = grams.groupBy("g").agg(
+        F.collect_list(F.struct(F.col("_id").alias("id"), F.col("pos").alias("pos"))).alias("xs")
+    )
+    ok = buckets.filter((F.size("xs") >= 2) & (F.size("xs") <= gram_cap))
+    pair_expr = F.explode(
+        F.expr(
+            "flatten(transform(xs, (x, i) -> "
+            "transform(slice(xs, i + 2, size(xs)), y -> struct("
+            "if(x.id < y.id, x, y) as a, if(x.id < y.id, y, x) as b))))"
+        )
+    ).alias("p")
+    diag = (
+        ok.select(pair_expr)
+        .filter(F.col("p.a.id") != F.col("p.b.id"))
+        .select(
+            F.col("p.a.id").alias("id1"),
+            F.col("p.b.id").alias("id2"),
+            F.col("p.a.pos").alias("pos1"),
+            (F.col("p.a.pos") - F.col("p.b.pos")).alias("diag"),
+        )
+    )
+    # within (id1, id2, diag) the pos1 values are distinct (one gram per
+    # position), so maximal runs of consecutive ints ARE the shared spans
+    runs = diag.groupBy("id1", "id2", "diag").agg(
+        F.sort_array(F.collect_list("pos1")).alias("ps")
+    )
+    scan = F.expr(
+        "aggregate(ps, "
+        "struct(cast(-10 as bigint) as prev, cast(0 as bigint) as run, "
+        "cast(0 as bigint) as best, cast(0 as bigint) as cnt), "
+        "(acc, x) -> struct(x as prev, "
+        "if(x = acc.prev + 1, acc.run + 1, cast(1 as bigint)) as run, "
+        "greatest(acc.best, if(x = acc.prev + 1, acc.run + 1, cast(1 as bigint))) as best, "
+        f"acc.cnt + if(x != acc.prev + 1 and acc.run >= {min_run}, 1, 0) as cnt), "
+        f"acc -> struct(acc.best + {L - 1} as max_len, "
+        f"acc.cnt + if(acc.run >= {min_run}, 1, 0) as n_spans))"
+    )
+    return (
+        runs.select("id1", "id2", scan.alias("s"))
+        .groupBy("id1", "id2")
+        .agg(
+            F.max("s.max_len").alias("max_shared_len"),
+            F.sum("s.n_spans").alias("n_spans"),
+        )
+        .filter(F.col("max_shared_len") >= min_len)
+    )

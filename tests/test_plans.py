@@ -58,6 +58,7 @@ def test_no_cartesian_in_scale_paths(spark):
         "minhash_near_dup_pairs",
         "lsh_candidates",
         "ngram_jaccard_pairs",
+        "lcs_substring_pairs",
         "simhash_pairs",
         "winnow_substring_pairs",
         "ann_lsh_topk",
