@@ -128,6 +128,19 @@ def _q_doc_repetition(spark, sf_dir):
     )
 
 
+def _q_doc_internal_repeats(spark, sf_dir):
+    """Per-doc longest repeated substring + repeat-position count via the
+    SA+LCP kernels (sketchlib/suffix.py).  Rows-only: a suffix array is not
+    SQL-expressible at feasible cost; semantics pinned vs O(n^2) brute force
+    in tests/test_suffix.py and vs a per-row python twin in
+    tests/test_textstats.py."""
+    from set_sketch_paper_spark.operators.textstats import with_internal_repeats
+
+    return with_internal_repeats(_docs(spark, sf_dir), "text", min_len=20).select(
+        "doc_id", "longest_repeat_len", "n_repeat_positions"
+    )
+
+
 def _q_doc_chunks(spark, sf_dir):
     from set_sketch_paper_spark.operators.chunking import chunk_documents
 
@@ -1039,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "audio_features": _q_audio_features,
         "video_frame_stats": _q_video_frame_stats,
+        "doc_internal_repeats": _q_doc_internal_repeats,
         "bbit_signatures": _q_bbit_signatures,
         "hmh_joint_pairs": _q_hmh_joint_pairs,
         "training_pipeline_clusters": _q_training_pipeline_clusters,

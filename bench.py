@@ -52,6 +52,8 @@ HEADLINE = [
     "setsketch_doc_cardinality",
     "exact_dup_groups",       # sha/md5 groupBy dedup
     "ngram_jaccard_pairs",    # exact-shingle self-join verification path
+    "lcs_substring_pairs",    # char-gram diagonal-island exact LCS (r5)
+    "doc_internal_repeats",   # per-doc SA+LCP repeat signals (r5)
     "simhash_pairs",
     "ann_lsh_topk",           # hyperplane-LSH ANN
     "ann_ivf_topk",           # IVF cell-partitioned ANN

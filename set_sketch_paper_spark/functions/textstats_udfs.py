@@ -89,3 +89,32 @@ def make_winnow_fingerprint_udf(sh: ShingleConfig, window: int = 8):
         return pd.Series(out)
 
     return _udf
+
+def make_internal_repeats_udf(min_len: int):
+    """text -> struct(longest_repeat_len, n_repeat_positions): exact per-doc
+    internal-repeat facts from the suffix-array + Kasai-LCP kernels
+    (sketchlib/suffix.py, hypothesis-gated vs O(n^2) brute force).
+
+    longest_repeat_len = max LCP (longest substring occurring >= 2 times,
+    overlaps allowed); n_repeat_positions = suffix positions whose longest
+    match elsewhere in the doc is >= min_len.  Operates on UTF-8 BYTES (the
+    SA is byte-level) — exact for any encoding, and byte counts are what a
+    repeated-boilerplate filter thresholds on anyway.
+
+    Per-row Python inside an Arrow batch: SA construction is O(n log n)
+    np.lexsort rounds per document and documents are KB-scale — the same
+    per-asset-cost argument as the multimodal codecs (multimodal.py)."""
+    from ..sketchlib.suffix import repeat_stats
+
+    @F.pandas_udf("longest_repeat_len bigint, n_repeat_positions bigint")
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        longest = np.zeros(len(texts), dtype=np.int64)
+        npos = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t:
+                longest[i], npos[i] = repeat_stats(t.encode("utf-8"), min_len)
+        return pd.DataFrame(
+            {"longest_repeat_len": longest, "n_repeat_positions": npos}
+        )
+
+    return _udf

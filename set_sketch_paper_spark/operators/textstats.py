@@ -229,3 +229,31 @@ def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_subtokens",
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)),
     )
+
+def with_internal_repeats(
+    df: DataFrame, text_col: str = "text", min_len: int = 20
+) -> DataFrame:
+    """Exact per-document internal-repeat signals via suffix array + LCP
+    (sketchlib/suffix.py): ``longest_repeat_len`` (longest substring
+    occurring >= 2 times, overlaps allowed) and ``n_repeat_positions``
+    (suffix positions repeating >= min_len bytes elsewhere in the doc).
+
+    The character-exact complement of with_repetition_stats' token-level
+    ratios: catches templated spans that token frequency ratios miss (long
+    repeats of rare tokens) and is the per-document twin of the cross-doc
+    lcs_substring_pairs diagonal-island pass (operators/dedup.py).
+
+    Arrow-batched pandas UDF, no shuffle — per-row bounded O(n log n)
+    compute, embarrassingly parallel at any scale.  Rows-only (a suffix
+    array is not SQL-expressible at feasible cost); semantics pinned vs
+    O(n^2) brute force in tests/test_suffix.py + tests/test_textstats.py.
+    """
+    from ..functions.textstats_udfs import make_internal_repeats_udf
+
+    r = make_internal_repeats_udf(min_len)(F.col(text_col))
+    return df.withColumns(
+        {
+            "longest_repeat_len": r["longest_repeat_len"],
+            "n_repeat_positions": r["n_repeat_positions"],
+        }
+    )

@@ -75,3 +75,44 @@ def test_pii_redacted_null_text(spark):
     assert rows[1]["n_email"] == 1 and rows[1]["n_ipv4"] == 1
     assert rows[1]["n_id_number"] == 1
     assert rows[1]["redacted"] == "mail <EMAIL> ip <IP> id <ID>"
+
+
+def test_internal_repeats_matches_per_row_twin(spark):
+    """with_internal_repeats (Arrow-batched SA+LCP UDF) == per-row python
+    repeat_stats on real corpus docs + planted edge rows; the kernels
+    themselves are hypothesis-gated vs O(n^2) brute force in test_suffix.py."""
+    from set_sketch_paper_spark.operators.textstats import with_internal_repeats
+    from set_sketch_paper_spark.sketchlib.suffix import repeat_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    extra = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "x"),
+            (9003, "ab" * 40),
+            (9004, "once upon a time " * 5 + "unique tail"),
+            (9005, "ünïcödé rëpëàt " * 3),  # multi-byte utf-8
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    got = {
+        r.doc_id: (r.longest_repeat_len, r.n_repeat_positions)
+        for r in with_internal_repeats(df, "text", min_len=20).collect()
+    }
+    for row in df.collect():
+        want = repeat_stats((row.text or "").encode("utf-8"), 20)
+        assert got[row.doc_id] == want, (row.doc_id, got[row.doc_id], want)
+
+
+def test_internal_repeats_udf_evaluated_once(spark):
+    """Both struct fields must come from ONE ArrowEvalPython node — a
+    duplicated SA pass would double the operator's cost."""
+    from set_sketch_paper_spark.operators.textstats import with_internal_repeats
+
+    df = spark.createDataFrame([(1, "abcabc")], "doc_id long, text string")
+    plan = (
+        with_internal_repeats(df, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
