@@ -1,15 +1,20 @@
-"""Baseline JPEG codec (8-bit grayscale + YCbCr color, 4:4:4 / 4:2:0 /
-4:2:2 chroma subsampling) in pure numpy + stdlib — no media library.
+"""JPEG codec (8-bit grayscale + YCbCr color, 4:4:4 / 4:2:0 / 4:2:2
+chroma subsampling, baseline sequential AND progressive) in pure numpy +
+stdlib — no media library.
 
-Scope: ITU-T T.81 baseline sequential DCT, 1 or 3 components with
-per-component sampling factors and interleaved MCUs (A.2.3), standard
-Annex-K quantization and Huffman tables (the spec's published example
-tables, emitted in DQT/DHT so any conforming reader decodes the output),
-optional restart markers (DRI/RSTn) on both encode and decode.  Decode
-accepts any integer sampling ratio (nearest-neighbor chroma upsample);
-encode offers (1,1) / (2,2) / (2,1) luma factors.  Enough to read/write
-real .jpg files — including the dominant 4:2:0 camera format — for image
-corpora; progressive (SOF2) stays PIL-gated (multimodal.py).
+Scope: ITU-T T.81 baseline sequential DCT (SOF0: 1 or 3 components with
+per-component sampling factors and interleaved MCUs, A.2.3) and
+progressive DCT (SOF2: multi-scan spectral selection + successive
+approximation per Annex G — DC first/refinement, banded AC first passes
+with EOBn end-of-band runs, AC refinement with woven correction bits).
+Standard Annex-K quantization and Huffman tables (emitted in DQT/DHT so
+any conforming reader decodes the output), optional restart markers
+(DRI/RSTn).  Decode accepts any integer sampling ratio (nearest-neighbor
+chroma upsample) for both frame types; encode offers (1,1) / (2,2) /
+(2,1) luma factors via encode_jpeg (baseline) and
+encode_jpeg_progressive (standard scan script).  Enough to read/write
+real .jpg files — including the dominant 4:2:0 camera format and
+progressive web JPEGs — for image corpora.
 
 Encode: 8x8 blocks -> level shift -> orthonormal 2D DCT (one einsum for
 ALL blocks) -> quantize -> zigzag -> DC differences + AC run-length ->
@@ -476,6 +481,242 @@ def encode_jpeg(
     return out
 
 
+# Progressive AC scans need EOBn symbols (0x10..0xE0), which the baseline
+# Annex-K tables do not contain — progressive encoders ship custom DHTs.
+# This one is deliberately simple: every symbol a progressive AC scan can
+# emit ((run<<4)|size for size 1..10, EOB0..EOB14, ZRL) at a flat 8 bits.
+# Suboptimal compression, trivially canonical (176 codes, none all-ones),
+# and any conforming decoder reads it from the DHT we emit.
+_AC_PROG_VALS = (
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [n << 4 for n in range(15)]
+    + [0xF0]
+)
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_CODES = _build_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+
+def _enc_dc_scan(bw: _BitWriter, mcu_specs, n_mcus: int, Al: int, first: bool):
+    """Progressive DC scan: first pass Huffman-codes diffs of the point-
+    transformed DC (arithmetic >> Al, T.81 G.1.2.1); refinement emits one
+    raw bit ((dc >> Al) & 1) per block in the same interleave order."""
+    prev = [0] * len(mcu_specs)
+    for n in range(n_mcus):
+        for ci, (dc_codes, nb, seq) in enumerate(mcu_specs):
+            for b in range(nb):
+                dc = int(seq[n * nb + b][0]) >> Al
+                if first:
+                    cat, bits = _magnitude(dc - prev[ci])
+                    code, ln = dc_codes[cat]
+                    bw.write(code, ln)
+                    if cat:
+                        bw.write(bits, cat)
+                    prev[ci] = dc
+                else:
+                    bw.write(dc & 1, 1)
+
+
+def _flush_eobrun(bw: _BitWriter, eobrun: int, ac_codes, pend=None) -> int:
+    """Emit a pending EOBn (+ extension bits, + any buffered refinement
+    correction bits that ride the run) and return the reset counter."""
+    if eobrun:
+        nbits = eobrun.bit_length() - 1
+        code, ln = ac_codes[nbits << 4]
+        bw.write(code, ln)
+        if nbits:
+            bw.write(eobrun & ((1 << nbits) - 1), nbits)
+        if pend is not None:
+            for bit in pend:
+                bw.write(bit, 1)
+            pend.clear()
+    return 0
+
+
+def _enc_ac_first(bw: _BitWriter, blocks, Ss: int, Se: int, Al: int, ac_codes):
+    """Progressive AC first pass (G.2.2): band run-length with EOBn runs;
+    values point-transformed toward zero (|v| >> Al, sign kept)."""
+    eobrun = 0
+    for blk in blocks:
+        tv = [
+            -((-v) >> Al) if v < 0 else v >> Al
+            for v in (int(x) for x in blk[Ss:Se + 1])
+        ]
+        nz = [i for i, t in enumerate(tv) if t]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(bw, eobrun, ac_codes)
+            continue
+        eobrun = _flush_eobrun(bw, eobrun, ac_codes)
+        r = 0
+        for i in range(nz[-1] + 1):
+            t = tv[i]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            cat, bits = _magnitude(t)
+            code, ln = ac_codes[(r << 4) | cat]
+            bw.write(code, ln)
+            bw.write(bits, cat)
+            r = 0
+        if nz[-1] < Se - Ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(bw, eobrun, ac_codes)
+    _flush_eobrun(bw, eobrun, ac_codes)
+
+
+def _enc_ac_refine(bw: _BitWriter, blocks, Ss: int, Se: int, Al: int, ac_codes):
+    """Progressive AC refinement (G.2.3): newly-significant coefficients
+    ((|v| >> Al) == 1) emit (run<<4)|1 + sign; history-nonzero coefficients
+    emit one buffered correction bit, woven after the next symbol / ZRL /
+    EOBn exactly where the figure-G.7 decoder reads them.  A pending EOB
+    run (with the covered blocks' correction bits) is flushed BEFORE any
+    block that inserts a new coefficient — the run's bits must precede the
+    block's first Huffman symbol on the wire."""
+    eobrun = 0
+    pend: list[int] = []
+    for blk in blocks:
+        vals = [int(x) for x in blk[Ss:Se + 1]]
+        absv = [(-v if v < 0 else v) >> Al for v in vals]
+        eob = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        if eob >= 0:
+            eobrun = _flush_eobrun(bw, eobrun, ac_codes, pend)
+        r = 0
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for bit in pend:
+                    bw.write(bit, 1)
+                pend.clear()
+            if t > 1:
+                pend.append(t & 1)
+                continue
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if vals[i] > 0 else 0, 1)
+            for bit in pend:
+                bw.write(bit, 1)
+            pend.clear()
+            r = 0
+        if r > 0 or pend:
+            eobrun += 1
+            if eobrun == 0x7FFF or len(pend) > 900:
+                eobrun = _flush_eobrun(bw, eobrun, ac_codes, pend)
+    _flush_eobrun(bw, eobrun, ac_codes, pend)
+
+
+def _sos_seg(comp_sel, Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+    body = bytes([len(comp_sel)])
+    for cs, tsel in comp_sel:
+        body += bytes([cs, tsel])
+    return _seg(0xDA, body + bytes([Ss, Se, (Ah << 4) | Al]))
+
+
+def _subgrid(zz: np.ndarray, bwidth: int, nbr: int, nbc: int) -> np.ndarray:
+    """The non-interleaved scan sub-grid (T.81 A.2.2): the top-left
+    ceil(comp_px/8) blocks of the padded plane — interleave-padding blocks
+    carry no AC data in progressive files."""
+    idx = [r * bwidth + c for r in range(nbr) for c in range(nbc)]
+    return zz[idx]
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, sampling=(1, 1)
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> progressive (SOF2) JFIF
+    JPEG bytes using the standard successive-approximation scan script:
+    DC (Al=1) -> luma AC 1-5 -> chroma AC 1-63 -> luma AC 6-63 (all Al=1)
+    -> DC refinement -> per-component AC refinement (Ah=1, Al=0) — every
+    coefficient fully delivered, so the quantized spectrum roundtrips
+    exactly (same lossless-layer contract as the baseline encoder)."""
+    a = np.asarray(img, dtype=np.uint8)
+    ac = _AC_PROG_CODES
+    if a.ndim == 2:
+        h, w = a.shape
+        ph, pw, q, zz = quantized_blocks(a, quality)
+        header = (
+            _dqt_seg(0, q)
+            + _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+            + _seg(0xC4, bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS))
+        )
+        dc_specs = [(_DC_CODES, 1, zz)]
+        n_mcus = len(zz)
+        dc_sel = [(1, 0x00)]
+        subs = [zz]  # grayscale: sub-grid == padded plane
+        ac_plan = [(0, 1, 5), (0, 6, 63)]
+        refine_comps = [0]
+        ids = [1]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        hf, vf = sampling
+        h, w = a.shape[:2]
+        ph, pw, (ql, qc), zzs = quantized_blocks_color(a, quality, sampling)
+        luma_seq = zzs[0][_mcu_order(ph // 8, pw // 8, hf, vf)]
+        dc_specs = [
+            (_DC_CODES, hf * vf, luma_seq),
+            (_DC_CODES_C, 1, zzs[1]),
+            (_DC_CODES_C, 1, zzs[2]),
+        ]
+        n_mcus = len(zzs[1])
+        header = (
+            _dqt_seg(0, ql)
+            + _dqt_seg(1, qc)
+            + _seg(
+                0xC2,
+                struct.pack(">BHHB", 8, h, w, 3)
+                + bytes([1, (hf << 4) | vf, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            )
+            + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+            + _seg(0xC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+            + _seg(0xC4, bytes([0x10]) + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS))
+        )
+        dc_sel = [(1, 0x00), (2, 0x10), (3, 0x10)]
+        subs = [
+            _subgrid(zzs[0], pw // 8, -(-h // 8), -(-w // 8)),
+            zzs[1],  # chroma planes pad to exactly the sub-grid
+            zzs[2],
+        ]
+        ac_plan = [(0, 1, 5), (1, 1, 63), (2, 1, 63), (0, 6, 63)]
+        refine_comps = [0, 1, 2]
+        ids = [1, 2, 3]
+    else:
+        raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB uint8")
+
+    out = (
+        b"\xff\xd8"
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + header
+    )
+    bw = _BitWriter()
+    _enc_dc_scan(bw, dc_specs, n_mcus, 1, first=True)
+    out += _sos_seg(dc_sel, 0, 0, 0, 1) + bw.flush()
+    for ci, ss, se in ac_plan:
+        bw = _BitWriter()
+        _enc_ac_first(bw, subs[ci], ss, se, 1, ac)
+        out += _sos_seg([(ids[ci], 0x00)], ss, se, 0, 1) + bw.flush()
+    bw = _BitWriter()
+    _enc_dc_scan(bw, dc_specs, n_mcus, 0, first=False)
+    out += _sos_seg(dc_sel, 0, 0, 1, 0) + bw.flush()
+    for ci in refine_comps:
+        bw = _BitWriter()
+        _enc_ac_refine(bw, subs[ci], 1, 63, 0, ac)
+        out += _sos_seg([(ids[ci], 0x00)], 1, 63, 1, 0) + bw.flush()
+    return out + b"\xff\xd9"
+
+
 def _decode_huffman(reader: _BitReader, table) -> int:
     code, length = 0, 0
     while length < 16:
@@ -534,10 +775,166 @@ def _entropy_decode(scan, n_mcus, specs, restart_interval):
     return zzs
 
 
+# end of an entropy-coded segment: the next 0xFF not followed by a stuffed
+# 0x00, an RSTn, or another 0xFF (trailing fill bytes belong to the marker)
+_SCAN_END_RE = re.compile(rb"\xff(?![\x00\xd0-\xd7\xff])")
+
+
+def _scan_end(payload: bytes, pos: int) -> int:
+    m = _SCAN_END_RE.search(payload, pos)
+    return m.start() if m else len(payload)
+
+
+def _progressive_scan(
+    scan, sel, Ss, Se, Ah, Al, coefs, orders, grids, n_mcus, restart_interval
+):
+    """Decode ONE progressive (SOF2) scan per ITU T.81 Annex G.2, mutating
+    the per-component zigzag coefficient accumulators in place.
+
+    ``sel`` = [(ci, dc_dec, ac_dec, hi, vi)] for the scan's components;
+    ``orders[ci]`` maps interleaved-sequence index -> plane block index;
+    ``grids[ci]`` = (plane_block_cols, sub_rows, sub_cols) for the
+    NON-interleaved addressing (a single-component scan covers only
+    ceil(comp_px/8) blocks of the padded plane, T.81 A.2.2).
+
+    Four scan kinds: DC first (Huffman diffs of the point-transformed DC,
+    value << Al), DC refinement (one raw bit per block, |= 1 << Al), AC
+    first (run-length with EOBn end-of-band runs, values << Al), and AC
+    successive-approximation refinement (correction bits for history-
+    nonzero coefficients woven between newly-significant +-1<<Al
+    insertions — the Annex G.2 figure G.7 algorithm).  Restart markers
+    byte-align and reset DC predictors AND the EOB run."""
+    ncomp = len(sel)
+    if Ss == 0:
+        if Se != 0:
+            raise ValueError("DC scan must have Se == 0")
+        if Ah == 0 and any(dc is None for _, dc, _, _, _ in sel):
+            raise ValueError("scan references undefined Huffman table")
+        interleaved = ncomp > 1
+    else:
+        if ncomp != 1:
+            raise ValueError("progressive AC scans must be single-component")
+        if not Ss <= Se <= 63:
+            raise ValueError("bad spectral band")
+        if sel[0][2] is None:
+            raise ValueError("scan references undefined Huffman table")
+        interleaved = False
+    if interleaved:
+        total = n_mcus
+    else:
+        _bw, nbr, nbc = grids[sel[0][0]]
+        total = nbr * nbc
+    p1, m1 = 1 << Al, -(1 << Al)
+    segments = _RST_RE.split(scan) if restart_interval else [scan]
+    m = 0
+    for segment in segments:
+        reader = _BitReader(segment)
+        preds = [0] * ncomp
+        eobrun = 0
+        expect = min(restart_interval, total - m) if restart_interval else total
+        for _ in range(expect):
+            if Ss == 0:
+                for si, (ci, dc_dec, _ac, hi, vi) in enumerate(sel):
+                    nb = hi * vi if interleaved else 1
+                    for b in range(nb):
+                        if interleaved:
+                            idx = orders[ci][m * nb + b]
+                        else:
+                            bw_i, _nr, nbc = grids[ci]
+                            idx = (m // nbc) * bw_i + (m % nbc)
+                        row = coefs[ci][idx]
+                        if Ah == 0:
+                            cat = _decode_huffman(reader, dc_dec)
+                            preds[si] += _extend(reader.read_bits(cat), cat)
+                            row[0] = preds[si] << Al
+                        elif reader.read_bit():
+                            row[0] |= p1
+            else:
+                ci, _dc, ac_dec, _hi, _vi = sel[0]
+                bw_i, _nr, nbc = grids[ci]
+                row = coefs[ci][(m // nbc) * bw_i + (m % nbc)]
+                if Ah == 0:
+                    # ---- AC first pass (G.2.2): band run-length + EOBn ----
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = Ss
+                        while k <= Se:
+                            sym = _decode_huffman(reader, ac_dec)
+                            r, s = sym >> 4, sym & 0xF
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += reader.read_bits(r)
+                                    break
+                                k += 16  # ZRL
+                            else:
+                                k += r
+                                if k > Se:
+                                    raise ValueError(
+                                        "AC coefficient outside spectral band"
+                                    )
+                                row[k] = _extend(reader.read_bits(s), s) << Al
+                                k += 1
+                else:
+                    # ---- AC refinement (G.2.3, figure G.7) ----
+                    k = Ss
+                    if eobrun == 0:
+                        while k <= Se:
+                            sym = _decode_huffman(reader, ac_dec)
+                            r, s = sym >> 4, sym & 0xF
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.read_bits(r)
+                                    break
+                                # ZRL: skip 16 zero-HISTORY coefficients
+                            elif s == 1:
+                                val = p1 if reader.read_bit() else m1
+                            else:
+                                raise ValueError("bad AC refinement symbol")
+                            while k <= Se:
+                                if row[k] != 0:
+                                    if (
+                                        reader.read_bit()
+                                        and (row[k] & p1) == 0
+                                    ):
+                                        row[k] += p1 if row[k] > 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val:
+                                if k > Se:
+                                    raise ValueError(
+                                        "AC refinement overflows band"
+                                    )
+                                row[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= Se:
+                            if row[k] != 0:
+                                if reader.read_bit() and (row[k] & p1) == 0:
+                                    row[k] += p1 if row[k] > 0 else m1
+                            k += 1
+                        eobrun -= 1
+            m += 1
+        if m >= total:
+            break
+    if m != total:
+        raise ValueError(f"scan ended after {m}/{total} blocks")
+
+
 def _parse(payload: bytes):
     """Shared marker walk: -> (zzs, h, w, qs, comps, mcu_grid) with one
     plane-raster-order spectrum + quant table per component and comps =
-    [(h_i, v_i)] sampling factors.  Reads DQT/DHT/DRI from the file;
+    [(h_i, v_i)] sampling factors.  Handles baseline sequential (SOF0,
+    single interleaved scan) AND progressive (SOF2, multi-scan successive
+    approximation / spectral selection).  Reads DQT/DHT/DRI from the file;
     tolerates 0xFF fill bytes and standalone TEM/RST markers in the header
     region; malformed / truncated input raises ValueError (never
     IndexError) so media-decode callers can catch one type."""
@@ -549,8 +946,13 @@ def _parse(payload: bytes):
     ac_tables: dict[int, dict] = {}
     h = w = None
     comp_q: list[int] = []
+    comp_ids: list[int] = []
     comps: list[tuple[int, int]] = []
     restart_interval = 0
+    progressive = False
+    saw_scan = False
+    coefs = orders = grids = None
+    hmax = vmax = hm = wm = None
     while pos < len(payload) - 1:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -597,17 +999,19 @@ def _parse(payload: bytes):
                 off += 17 + n
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             if len(body) < 6:
-                raise ValueError("truncated SOF0")
+                raise ValueError("truncated SOF")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or ncomp not in (1, 3):
-                raise ValueError("only 8-bit 1- or 3-component baseline supported")
+                raise ValueError("only 8-bit 1- or 3-component frames supported")
             if len(body) < 6 + 3 * ncomp:
-                raise ValueError("truncated SOF0 component list")
-            comp_q, comps = [], []
+                raise ValueError("truncated SOF component list")
+            comp_q, comp_ids, comps = [], [], []
             for ci in range(ncomp):
                 # per-component bytes: id, sampling factors, quant table id
+                comp_ids.append(body[6 + 3 * ci])
                 hv = body[6 + 3 * ci + 1]
                 hi, vi = hv >> 4, hv & 0xF
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
@@ -622,12 +1026,56 @@ def _parse(payload: bytes):
             vmax = max(vi for _, vi in comps)
             if any(hmax % hi or vmax % vi for hi, vi in comps):
                 raise ValueError("non-integer sampling ratios unsupported")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise ValueError("only baseline sequential (SOF0) supported")
+            # MCU grid at max sampling; each component's padded plane is
+            # its (vi, hi) fraction of the (hm*8*vmax, wm*8*hmax) canvas
+            hm = (h + 8 * vmax - 1) // (8 * vmax)
+            wm = (w + 8 * hmax - 1) // (8 * hmax)
+            if progressive:
+                # coefficients accumulate across scans, in plane raster
+                # order at component resolution; non-interleaved scans
+                # cover only the ceil(comp_px/8) sub-grid (T.81 A.2.2)
+                coefs, orders, grids = [], [], []
+                for hi, vi in comps:
+                    bh_i, bw_i = hm * vi, wm * hi
+                    coefs.append(np.zeros((bh_i * bw_i, 64), dtype=np.int64))
+                    orders.append(_mcu_order(bh_i, bw_i, hi, vi))
+                    nbr = (-(-h * vi // vmax) + 7) // 8
+                    nbc = (-(-w * hi // hmax) + 7) // 8
+                    grids.append((bw_i, nbr, nbc))
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline (SOF0) and progressive (SOF2) supported")
         elif marker == 0xDA:
             if h is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            if progressive:
+                if len(body) < 1 + 2 * ns + 3 or not 1 <= ns <= len(comps):
+                    raise ValueError("bad SOS header")
+                sel = []
+                for i in range(ns):
+                    cs, tsel = body[1 + 2 * i], body[2 + 2 * i]
+                    if cs not in comp_ids:
+                        raise ValueError("scan references unknown component")
+                    ci = comp_ids.index(cs)
+                    hi, vi = comps[ci]
+                    sel.append(
+                        (
+                            ci,
+                            dc_tables.get(tsel >> 4),
+                            ac_tables.get(tsel & 0xF),
+                            hi,
+                            vi,
+                        )
+                    )
+                Ss, Se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+                end = _scan_end(payload, pos)
+                _progressive_scan(
+                    payload[pos:end], sel, Ss, Se, ahal >> 4, ahal & 0xF,
+                    coefs, orders, grids, hm * wm, restart_interval,
+                )
+                saw_scan = True
+                pos = end
+                continue
             if ns != len(comps):
                 raise ValueError("only single interleaved scan supported")
             specs = []
@@ -639,10 +1087,6 @@ def _parse(payload: bytes):
                 specs.append((dc_tables[tsel >> 4], ac_tables[tsel & 0xF], hi, vi))
             end = payload.rfind(b"\xff\xd9")
             scan = payload[pos:end if end > 0 else len(payload)]
-            # MCU grid at max sampling; each component's padded plane is
-            # its (vi, hi) fraction of the (hm*8*vmax, wm*8*hmax) canvas
-            hm = (h + 8 * vmax - 1) // (8 * vmax)
-            wm = (w + 8 * hmax - 1) // (8 * hmax)
             if any(t not in qtables for t in comp_q):
                 raise ValueError("component references undefined quant table")
             zzs_seq = _entropy_decode(scan, hm * wm, specs, restart_interval)
@@ -653,6 +1097,10 @@ def _parse(payload: bytes):
                 plane[order] = zz  # MCU interleave -> plane raster
                 zzs.append(plane)
             return zzs, h, w, [qtables[t] for t in comp_q], comps, (hm, wm)
+    if progressive and saw_scan:
+        if any(t not in qtables for t in comp_q):
+            raise ValueError("component references undefined quant table")
+        return coefs, h, w, [qtables[t] for t in comp_q], comps, (hm, wm)
     raise ValueError("no SOS marker found")
 
 
@@ -671,12 +1119,14 @@ def _channel_pixels(zz: np.ndarray, q: np.ndarray, ph: int, pw: int) -> np.ndarr
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JPEG -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
-    Reads the DQT/DHT/DRI segments FROM THE FILE (not assumed), handles
-    restart markers, fill bytes, and per-component sampling factors with
-    integer ratios — 4:4:4, 4:2:0, 4:2:2 (and 4:4:0) files from standard
-    encoders decode, not just this module's output.  Subsampled chroma is
-    nearest-neighbor upsampled to the luma grid (ITU T.81 A.2)."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG -> (h, w) uint8 grayscale
+    or (h, w, 3) uint8 RGB.  Reads the DQT/DHT/DRI segments FROM THE FILE
+    (not assumed), handles restart markers, fill bytes, and per-component
+    sampling factors with integer ratios — 4:4:4, 4:2:0, 4:2:2 (and 4:4:0)
+    files from standard encoders decode, not just this module's output.
+    Subsampled chroma is nearest-neighbor upsampled to the luma grid (ITU
+    T.81 A.2).  Progressive files cut between complete scans decode to the
+    partial-delivery image, per the format's design."""
     zzs, h, w, qs, comps, (hm, wm) = _parse(payload)
     hmax = max(hi for hi, _ in comps)
     vmax = max(vi for _, vi in comps)

@@ -7,11 +7,12 @@ and so are the uncompressed codecs: pure-numpy PGM (P5), PPM (P6) and
 24-bit BMP image decode (``decode_backend='auto'`` sniffs the magic bytes)
 and a chunk-walking RIFF PCM WAV audio codec feeding real spectral features
 (rfft periodogram).  PNG (8-bit gray/RGB, all five scanline filters; stdlib zlib + numpy)
-and baseline JPEG — grayscale AND YCbCr color at 4:4:4 / 4:2:0 / 4:2:2 —
+and JPEG — grayscale AND YCbCr color at 4:4:4 / 4:2:0 / 4:2:2, baseline
+sequential AND progressive (SOF2 successive approximation) —
 (operators/jpeg.py: Annex-K tables, full entropy codec, interleaved
 subsampled MCUs, DRI/RSTn restarts) are REAL
 compressed codecs here, no media library.
-Remaining codecs (subsampled/progressive JPEG, MP3/...) defer to
+Remaining codecs (arithmetic-coded/lossless JPEG, MP3/...) defer to
 PIL/soundfile when present; this container ships no media libraries, so
 ``decode_backend='fake'`` remains available as the deterministic
 hash-seeded stand-in for them.
@@ -223,8 +224,8 @@ def decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte-sniffing decode of the library-free containers: PGM (P5)
     -> (h, w) uint8, PPM (P6) / 24-bit BMP -> (h, w, 3) uint8 RGB, PNG
-    (8-bit gray/RGB) and baseline JPEG (gray / 4:4:4 / 4:2:0 / 4:2:2
-    color) -> matching shape."""
+    (8-bit gray/RGB) and JPEG (gray / 4:4:4 / 4:2:0 / 4:2:2 color,
+    baseline AND progressive) -> matching shape."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
@@ -536,14 +537,21 @@ def synthetic_assets(
                     elif variant == 3:
                         payload = encode_png(rng.randint(0, 256, (h, w), dtype=np.uint8))
                     else:
-                        from .jpeg import encode_jpeg
+                        from .jpeg import encode_jpeg, encode_jpeg_progressive
 
-                        # cycle gray / 4:4:4 / 4:2:0 / 4:2:2 JPEG payloads
-                        jv = (asset_id // 15) % 4
+                        # cycle gray / 4:4:4 / 4:2:0 / 4:2:2 baseline and
+                        # progressive-4:2:0 JPEG payloads
+                        jv = (asset_id // 15) % 5
                         if jv == 0:
                             payload = encode_jpeg(
                                 rng.randint(0, 256, (h, w), dtype=np.uint8),
                                 quality=90,
+                            )
+                        elif jv == 4:
+                            payload = encode_jpeg_progressive(
+                                rng.randint(0, 256, (h, w, 3), dtype=np.uint8),
+                                quality=90,
+                                sampling=(2, 2),
                             )
                         else:
                             samp = [(1, 1), (2, 2), (2, 1)][jv - 1]

@@ -386,3 +386,124 @@ def test_jpeg_trailing_ff_raises_valueerror():
         except ValueError:
             continue
         raise AssertionError("expected ValueError on truncated fill bytes")
+
+
+# --- progressive JPEG (SOF2: spectral selection + successive approximation) ---
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data(), st.integers(1, 40), st.integers(1, 40),
+       st.sampled_from([10, 50, 85]))
+def test_jpeg_progressive_gray_lossless(data, h, w, quality):
+    """The full progressive scan script (DC Al=1 -> banded AC first passes
+    -> DC + AC refinement) must deliver EVERY quantized coefficient: the
+    accumulated spectrum equals the baseline encoder's exactly, so
+    progressive and baseline decodes of the same image are pixel-identical."""
+    from set_sketch_paper_spark.operators.jpeg import encode_jpeg_progressive
+
+    px = _arr(data.draw, h, w)
+    payload = encode_jpeg_progressive(px, quality=quality)
+    assert np.array_equal(quantized_blocks(px, quality)[3],
+                          decode_jpeg_spectrum(payload))
+    assert np.array_equal(decode_jpeg(payload),
+                          decode_jpeg(encode_jpeg(px, quality=quality)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data(), st.integers(1, 24), st.integers(1, 24),
+       st.sampled_from([50, 85]))
+def test_jpeg_progressive_color_lossless(data, h, w, quality):
+    """Color progressive: interleaved DC scan + per-component AC band scans
+    + refinements reproduce all three 4:4:4 spectra exactly."""
+    from set_sketch_paper_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+        quantized_blocks_color,
+    )
+
+    rgb = _arr(data.draw, h, w, 3)
+    payload = encode_jpeg_progressive(rgb, quality=quality)
+    zz_enc = quantized_blocks_color(rgb, quality)[3]
+    zz_dec = decode_jpeg_spectrum(payload)
+    assert all(np.array_equal(a, b) for a, b in zip(zz_enc, zz_dec))
+    assert decode_jpeg(payload).shape == (h, w, 3)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data(), st.integers(1, 3), st.integers(1, 3),
+       st.sampled_from([(2, 2), (2, 1)]))
+def test_jpeg_progressive_subsampled_lossless(data, mh, mw, samp):
+    """Subsampled progressive at MCU-aligned dims: non-interleaved AC scans
+    cover exactly the component sub-grids, so all three spectra roundtrip
+    (at non-aligned dims luma interleave-padding blocks legitimately stay
+    AC-less — the pixel test below covers those)."""
+    from set_sketch_paper_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+        quantized_blocks_color,
+    )
+
+    h, w = mh * 8 * samp[1], mw * 8 * samp[0]
+    rgb = _arr(data.draw, h, w, 3)
+    payload = encode_jpeg_progressive(rgb, quality=85, sampling=samp)
+    zz_enc = quantized_blocks_color(rgb, 85, samp)[3]
+    zz_dec = decode_jpeg_spectrum(payload)
+    assert all(np.array_equal(a, b) for a, b in zip(zz_enc, zz_dec))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data(), st.integers(1, 20), st.integers(1, 20),
+       st.sampled_from([(2, 2), (2, 1)]))
+def test_jpeg_progressive_subsampled_pixels_match_baseline(data, h, w, samp):
+    """At ARBITRARY dims, progressive and baseline decode to identical
+    pixels: the sub-grid covers every visible block; only invisible
+    interleave-padding blocks lack AC."""
+    from set_sketch_paper_spark.operators.jpeg import encode_jpeg_progressive
+
+    rgb = _arr(data.draw, h, w, 3)
+    prog = decode_jpeg(encode_jpeg_progressive(rgb, quality=85, sampling=samp))
+    base = decode_jpeg(encode_jpeg(rgb, quality=85, sampling=samp))
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_eob_runs_and_corrections():
+    """A large flat image with sparse features forces multi-block EOBn runs
+    in the first passes and buffered correction bits riding EOB runs in the
+    refinement pass — the trickiest wire-format corner (T.81 G.2.3)."""
+    from set_sketch_paper_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+    img = np.full((128, 120), 90, dtype=np.uint8)
+    ys, xs = rng.randint(0, 128, 15), rng.randint(0, 120, 15)
+    img[ys, xs] = 255
+    payload = encode_jpeg_progressive(img, quality=85)
+    assert np.array_equal(quantized_blocks(img, 85)[3],
+                          decode_jpeg_spectrum(payload))
+
+
+def test_jpeg_progressive_via_decode_image():
+    """The multimodal sniffing path handles progressive payloads end-to-end
+    (the last JPEG NotImplementedError gate is gone)."""
+    from set_sketch_paper_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    out = decode_image(encode_jpeg_progressive(rgb, quality=90, sampling=(2, 2)))
+    assert out.shape == (17, 23, 3) and out.dtype == np.uint8
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data(), st.integers(0, 400))
+def test_jpeg_progressive_truncation_raises_valueerror(data, frac):
+    """Every truncation point of a progressive file raises ValueError (or
+    decodes, when the cut lands between complete scans — partial delivery
+    is progressive JPEG's designed behavior), never IndexError."""
+    from set_sketch_paper_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(9)
+    rgb = rng.randint(0, 256, (18, 18, 3), dtype=np.uint8)
+    payload = encode_jpeg_progressive(rgb, quality=85, sampling=(2, 2))
+    cut = 2 + (frac * (len(payload) - 3)) // 401
+    try:
+        out = decode_jpeg(payload[:cut])
+        assert out.shape == (18, 18, 3)  # partial but well-formed decode
+    except ValueError:
+        pass  # the malformed-media contract
