@@ -128,6 +128,25 @@ def _q_doc_repetition(spark, sf_dir):
     )
 
 
+def _q_vocab_topk(spark, sf_dir):
+    """Exact corpus top-50 tokens (n DESC, token ASC — total order, so the
+    k-boundary is deterministic and oracle-hashable)."""
+    from set_sketch_paper_spark.operators.freq import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=50, text_col="text")
+
+
+def _q_token_topk_mg(spark, sf_dir):
+    """Misra-Gries frequent-items sketch top-50 with deterministic
+    [count_min, count_max] error brackets.  Rows-only (pseudo-bounded
+    sketch state); exactness at large capacity and the bracket/heavy-hitter
+    guarantees are cross-gated vs the oracle-green vocab_topk twin in
+    tests/test_cross_consistency.py."""
+    from set_sketch_paper_spark.operators.freq import token_topk_mg
+
+    return token_topk_mg(_docs(spark, sf_dir), k=50, capacity=4096, text_col="text")
+
+
 def _q_doc_internal_repeats(spark, sf_dir):
     """Per-doc longest repeated substring + repeat-position count via the
     SA+LCP kernels (sketchlib/suffix.py).  Rows-only: a suffix array is not
@@ -978,13 +997,13 @@ def _q_multimodal_resize(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract (VERDICT r4 #1): the driver records correctness for
-    only the FIRST 50 dict entries, so all 37 oracle-backed queries come
-    first, then the 13 highest-value rows-only queries (near-dup / sketch /
+    only the FIRST 50 dict entries, so all 38 oracle-backed queries come
+    first, then the 12 highest-value rows-only queries (near-dup / sketch /
     ANN production paths).  Entries past position 50 are rows-only queries
     whose accuracy is pinned in tests/ (MC error grids, multimodal codecs,
     cross-gated sketch twins)."""
     return {
-        # --- oracle-backed (37): driver checks rows+schema+value-hash ---
+        # --- oracle-backed (38): driver checks rows+schema+value-hash ---
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_stats": _q_token_stats,
@@ -1022,7 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_sample": _q_docs_hash_sample,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_split_counts": _q_docs_split_counts,
-        # --- rows-only, inside the 50-window (13): near-dup / sketch / ANN
+        "vocab_topk": _q_vocab_topk,
+        # --- rows-only, inside the 50-window (12): near-dup / sketch / ANN
         # production paths; accuracy cross-gated in tests/ ---
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
@@ -1036,11 +1056,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_near_dup_pairs_ann": _q_embedding_near_dup_pairs_ann,
-        "hmh_doc_cardinality": _q_hmh_doc_cardinality,
         # --- rows-only, past the 50-window: pytest-pinned accuracy ---
-        # (clusters_ann derives from the in-window pairs_ann; cross-gated
-        # to its oracle-green exact twin in test_cross_consistency.py)
+        # (clusters_ann derives from the in-window pairs_ann and
+        # hmh_doc_cardinality is golden-CSV + cross-gated — both pinned in
+        # tests/; oracle-backed entries take the window slots)
+        "hmh_doc_cardinality": _q_hmh_doc_cardinality,
         "embedding_near_dup_clusters_ann": _q_embedding_near_dup_clusters_ann,
+        "token_topk_mg": _q_token_topk_mg,
         "setsketch_distinct_users": _q_setsketch_distinct_users,
         "minhash_est_cardinality": _q_minhash_est_cardinality,
         "ghll_joint_pairs": _q_ghll_joint_pairs,
@@ -1458,6 +1480,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint_md5 FROM documents
+        """,
+        # total order (n DESC, token ASC) makes the top-50 boundary
+        # deterministic; both engines compare strings as binary UTF-8
+        "vocab_topk": """
+            WITH toks AS (
+              SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+              FROM documents
+            )
+            SELECT token, COUNT(*) AS n
+            FROM toks WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 50
         """,
         "ngram_jaccard_pairs": ngram3,
         "substring_block_pairs": _ngram_cte(16, min_shared=3)

@@ -61,6 +61,7 @@ HEADLINE = [
     "doc_repetition",         # Gopher-style repetition signals
     "training_corpus_build",  # quality->dedup->decontaminate->chunk->pack
     "token_stats",            # text-quality analysis
+    "token_topk_mg",          # Misra-Gries frequent-items sketch (r5)
     "lang_id",
     "audio_features",         # WAV decode + spectral features (mapInPandas)
     "video_frame_stats",      # PGM-stream decode + frame sampling

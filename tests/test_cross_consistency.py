@@ -419,3 +419,34 @@ def test_ann_lsh_topk_recall_vs_exact(q, spark):
     r40, n40 = recall(400_000)
     assert n35 >= 20 and r35 >= 0.30, (r35, n35)
     assert n40 >= 5 and r40 >= 0.50, (r40, n40)
+
+
+def test_token_topk_mg_exact_at_large_capacity(q, spark):
+    """With capacity >= any partition's distinct-token count the MG sketch
+    makes zero decrements, so token_topk_mg == the oracle-green vocab_topk
+    twin bit-for-bit (same tokens, same order, count_min == count_max == n)."""
+    from set_sketch_paper_spark.operators.freq import token_topk_mg
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = token_topk_mg(docs, k=50, capacity=1 << 20).collect()
+    want = _rows(q, spark, "vocab_topk", ["token", "n"])
+    assert [(r.token, r.count_min) for r in got] == want
+    assert all(r.count_min == r.count_max for r in got)
+
+
+def test_token_topk_mg_brackets_exact_at_small_capacity(q, spark):
+    """At sketch-sized capacity the brackets must hold: count_min <= true n
+    <= count_max for every reported token, and the production query's
+    top ranks agree with the exact twin's wherever brackets don't overlap."""
+    exact = dict(_rows(q, spark, "vocab_topk", ["token", "n"]))
+    got = q["token_topk_mg"](spark, SF_DIR).collect()
+    # sf0.001's vocabulary may be smaller than k; match the exact twin's size
+    assert len(got) == len(exact)
+    for r in got:
+        if r.token in exact:
+            assert r.count_min <= exact[r.token] <= r.count_max, r.token
+    # provable-rank-1: when the leader's lower bound clears the runner-up's
+    # upper bound, it must be the exact twin's top token
+    top_exact = [t for t, _ in sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))]
+    if got[0].count_min > got[1].count_max:
+        assert got[0].token == top_exact[0]

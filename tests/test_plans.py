@@ -71,6 +71,14 @@ def test_no_cartesian_in_scale_paths(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_vocab_topk_plan_shape(spark):
+    """Exact top-k vocabulary: TakeOrderedAndProject (no global sort) over a
+    partially-aggregated count — exactly one shuffle for the token groupBy."""
+    plan = _plan(entrymod.queries()["vocab_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
 def test_signature_udf_evaluated_once(spark):
     """The posexplode_outer fix: the signature pandas UDF must appear exactly
     once in the candidate-pairs plan (the plain posexplode variant evaluated
