@@ -174,10 +174,26 @@ def run_default() -> dict:
         .collect()
     )
 
+    def sweep():
+        """Unpersist every cached RDD between reps: localCheckpoint blocks
+        from iterative queries (pipeline stages, CC rounds) are per-run
+        artifacts a fresh driver would not have, so each rep must pay its
+        own materialization — without this, dead blocks accumulate across
+        reps and the block-manager/GC drag shows up as warm reps running
+        SLOWER than cold (observed on the flagship query, r5).  Runs
+        outside the timed region."""
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            jmap.get(k).unpersist(False)
+
     def measure(name: str) -> tuple[float, float, float, int]:
         """cold, first-warm, warm-median-of-WARM_REPS, rows."""
         sec, n = _time_query(spark, qmap[name], SF_DIR)
-        reps = [_time_query(spark, qmap[name], SF_DIR)[0] for _ in range(WARM_REPS)]
+        reps = []
+        for _ in range(WARM_REPS):
+            sweep()
+            reps.append(_time_query(spark, qmap[name], SF_DIR)[0])
+        sweep()
         return sec, reps[0], _median(reps), n
 
     for name in HEADLINE:
@@ -567,6 +583,8 @@ def main() -> None:
     # artifact a real 4N-executor cluster, with 4x the memory channels,
     # does not have; see BENCH/BASELINE.md companion measurement)
     ap.add_argument("--levels", type=str, default="2,8")
+    ap.add_argument("--rounds", type=int, default=5,
+                    help="interleaved A/B rounds for --scaling (>=3 for a median)")
     args = ap.parse_args()
     if args.scaling_worker:
         cpus, corpus, nf = args.scaling_worker
@@ -585,7 +603,9 @@ def main() -> None:
                 raise ValueError(levels)
         except ValueError:
             ap.error(f"--levels must be >=2 positive ints, e.g. '8,32' (got {args.levels!r})")
-        out = run_scaling(levels)
+        if args.rounds < 1:
+            ap.error("--rounds must be >= 1")
+        out = run_scaling(levels, rounds=args.rounds)
     else:
         out = run_default()
     print(json.dumps(out))

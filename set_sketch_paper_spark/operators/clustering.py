@@ -40,6 +40,44 @@ def _materialize(df: DataFrame, reliable: bool) -> DataFrame:
     return _sever_plan_identity(df.localCheckpoint(eager=True))
 
 
+class _RoundBlockTracker:
+    """Frees the PREVIOUS round's localCheckpoint blocks once the next round
+    is materialized.
+
+    Iterative loops otherwise accumulate one cached RDD per round for the
+    life of the job — pure dead weight, since each round only ever reads the
+    round before it.  The checkpointed RDD has no lineage, so its id is only
+    discoverable by diffing the context's persistent-RDD map around the
+    materialize call (JVM-side map, no driver data).  Reliable-checkpoint
+    mode writes files instead of cache blocks; tracking is a no-op there.
+    """
+
+    def __init__(self, spark, enabled: bool):
+        self._jsc = spark.sparkContext._jsc
+        self._enabled = enabled
+        self._prev: set[int] = set()
+        self._pinned: set[int] = set()
+
+    def _ids(self) -> set[int]:
+        return {int(k) for k in self._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def materialize(self, df: DataFrame, reliable: bool, pin: bool = False) -> DataFrame:
+        if not self._enabled:
+            return _materialize(df, reliable)
+        before = self._ids()
+        out = _materialize(df, reliable)
+        new = self._ids() - before
+        if pin:  # frames read by EVERY round (e.g. the edge list)
+            self._pinned |= new
+            return out
+        free_now, self._prev = self._prev - self._pinned, new
+        jmap = self._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in free_now:
+                jmap.get(k).unpersist(False)
+        return out
+
+
 def _sever_plan_identity(df: DataFrame) -> DataFrame:
     """Rebuild the Dataset from its (already checkpointed) InternalRow RDD.
 
@@ -89,8 +127,9 @@ def connected_components(
     partial labels (every label is still a genuine reachable id — only the
     minimality is unfinished).
     """
-    sym = _materialize(_symmetric_dedup(edges.select("id1", "id2")), reliable)
-    labels = _materialize(
+    trk = _RoundBlockTracker(edges.sparkSession, enabled=not reliable)
+    sym = trk.materialize(_symmetric_dedup(edges.select("id1", "id2")), reliable, pin=True)
+    labels = trk.materialize(
         sym.groupBy(F.col("id1").alias("id"))
         .agg(F.min("id2").alias("nmin"))
         .select("id", F.least("id", "nmin").alias("label")),
@@ -112,7 +151,7 @@ def connected_components(
         )
         # 2) pointer jump: label <- label(label)
         jump_src = stepped.select(F.col("id").alias("jid"), F.col("label").alias("jlabel"))
-        jumped = _materialize(
+        jumped = trk.materialize(
             stepped.join(jump_src, stepped.label == jump_src.jid, "left").select(
                 "id",
                 "old_label",
@@ -168,13 +207,15 @@ def connected_components_star(
     input edge list — identical semantics to ``connected_components``
     (asserted on shared graphs in tests/test_clustering_star.py).
     """
-    verts = _materialize(
+    trk = _RoundBlockTracker(edges.sparkSession, enabled=not reliable)
+    verts = trk.materialize(
         edges.select(F.col("id1").alias("id"))
         .union(edges.select(F.col("id2").alias("id")))
         .distinct(),
         reliable,
+        pin=True,
     )
-    e = _materialize(
+    e = trk.materialize(
         edges.select(
             F.greatest("id1", "id2").alias("id1"), F.least("id1", "id2").alias("id2")
         )
@@ -217,7 +258,7 @@ def connected_components_star(
             .filter(F.col("id1") != F.col("id2"))
             .dropDuplicates(["id1", "id2"])
         )
-        new_e = _materialize(small, reliable)
+        new_e = trk.materialize(small, reliable)
         new_stats = _edge_set_stats(new_e)
         e = new_e
         if new_stats == e_stats:

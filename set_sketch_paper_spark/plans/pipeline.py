@@ -52,6 +52,30 @@ class PipelineResult:
     clusters: DataFrame
     pairs: DataFrame
     metrics: list[StageMetrics] = field(default_factory=list)
+    # ids of localCheckpoint block-RDDs held by the in-memory (no
+    # checkpoint-dir) stage mode; empty when stages persist to parquet
+    _ckpt_rdd_ids: set = field(default_factory=set)
+    _spark: SparkSession | None = None
+
+    def release_cache(self) -> int:
+        """Unpersist the stage localCheckpoint blocks backing this result.
+
+        Call ONLY after ``clusters``/``pairs`` have been fully consumed —
+        the blocks are the severed lineage's sole data source, so the
+        frames are unusable afterwards.  Long-lived drivers running many
+        pipeline batches in one session need this between batches or dead
+        stage blocks accumulate for the session's lifetime.  Returns the
+        number of RDDs freed."""
+        if not self._spark or not self._ckpt_rdd_ids:
+            return 0
+        jmap = self._spark.sparkContext._jsc.getPersistentRDDs()
+        n = 0
+        for k in jmap.keySet().toArray():
+            if int(k) in self._ckpt_rdd_ids:
+                jmap.get(k).unpersist(False)
+                n += 1
+        self._ckpt_rdd_ids.clear()
+        return n
 
 
 class NearDupPipeline:
@@ -59,6 +83,7 @@ class NearDupPipeline:
         self.pcfg = pcfg
         self.run_id = run_id
         self.metrics: list[StageMetrics] = []
+        self._ckpt_rdd_ids: set[int] = set()
 
     # -- checkpoint helpers -------------------------------------------------
 
@@ -89,7 +114,12 @@ class NearDupPipeline:
         """
         d = self._stage_dir(stage)
         if not d:
+            jsc = df.sparkSession.sparkContext._jsc
+            before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
             out = df.localCheckpoint(eager=True)
+            self._ckpt_rdd_ids |= {
+                int(k) for k in jsc.getPersistentRDDs().keySet().toArray()
+            } - before
             # rows=-1: a separate count() is one extra job per stage, and at
             # small scale the pipeline is job-overhead-bound; persisted
             # checkpoints below still record exact per-partition rows
@@ -196,7 +226,17 @@ class NearDupPipeline:
             self.metrics.append(StageMetrics(name, -1, 0.0, True, resumed.rdd.getNumPartitions()))
             return resumed.drop("_stage", "_config_hash", "_run_id")
         t0 = time.time()
-        return self._checkpoint(build(), name, t0)
+        jsc = spark.sparkContext._jsc
+        before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+        out = self._checkpoint(build(), name, t0)
+        # anything build() left persistent (e.g. the CC loop's final-round
+        # and pinned edge blocks) is dead once the stage itself is
+        # checkpointed — reclaim it now, keeping only the stage's own blocks
+        jmap = jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) not in before and int(k) not in self._ckpt_rdd_ids:
+                jmap.get(k).unpersist(False)
+        return out
 
     # -- pipeline -----------------------------------------------------------
 
@@ -209,6 +249,7 @@ class NearDupPipeline:
     ) -> PipelineResult:
         spark = df.sparkSession
         self.metrics = []
+        self._ckpt_rdd_ids = set()
 
         base = with_content_sha(with_file_id(df, id_cols), content_col)
         if verify_sha_against:
@@ -279,4 +320,10 @@ class NearDupPipeline:
                 F.coalesce("cluster_id", "file_id").alias("cluster_id"),
             )
         )
-        return PipelineResult(clusters=assignment, pairs=verified, metrics=self.metrics)
+        return PipelineResult(
+            clusters=assignment,
+            pairs=verified,
+            metrics=self.metrics,
+            _ckpt_rdd_ids=self._ckpt_rdd_ids,
+            _spark=spark,
+        )
