@@ -110,3 +110,13 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"file_id", "cluster_id"}
+
+
+def test_bench_query_names_resolve():
+    """Every bench.py HEADLINE / ORACLE_TWINS name must be a queries() key —
+    a rename that breaks the benchmark should fail here, not in the
+    driver's sf0.1 run."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE + bench.ORACLE_TWINS if n not in ALL_KEYS]
+    assert not missing, missing
