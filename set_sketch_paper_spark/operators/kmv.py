@@ -171,6 +171,80 @@ def kmv_jaccard_sql(ks1: str, ks2: str, k: int) -> str:
     )
 
 
+def kmv_setops_cols(ks1, ks2, k: int) -> tuple[Column, Column, Column]:
+    """(union_est_q, inter_est_q, anotb_est_q) — distinct-count estimates of
+    A ∪ B, A ∩ B, and A \\ B from two bottom-k sketches, theta-sketch style
+    (Dasgupta et al., "Theta sketch framework"; public DataSketches design):
+
+    the bottom-k of A_k ∪ B_k IS the KMV sketch of A ∪ B, and with
+    θ = its k-th value, every hash below θ has decidable membership in both
+    A and B (θ <= each input's own k-th value, below which the input sketch
+    is a COMPLETE record of its set).  So over the k-1 union values below θ:
+    |S| est = count_S * 2^60 / θ for any S expressible from A/B membership.
+    A non-full union sketch implies both inputs were non-full, i.e. the
+    sketches are the exact sets — counts are exact there.
+
+    All quantized floor(1e6 * est) with exactly-representable constants:
+    bit-identical in any engine (DuckDB twin: kmv_setops_sql)."""
+    ks1 = ks1 if isinstance(ks1, Column) else F.col(ks1)
+    ks2 = ks2 if isinstance(ks2, Column) else F.col(ks2)
+    u = F.slice(F.array_sort(F.array_union(ks1, ks2)), 1, k)
+    nu = F.size(u)
+    theta = F.get(u, nu - 1)
+    below = F.slice(u, 1, k - 1)
+    c = float(2**_HASH_BITS * _EST_SCALE)  # 2^66 * 5^6 * ... : exact double
+
+    def est_full(cnt: Column) -> Column:
+        return F.floor(
+            cnt.cast("double") * F.lit(c) / theta.cast("double")
+        ).cast("long")
+
+    full = nu >= k
+    inter_of = lambda arr: F.size(F.array_intersect(F.array_intersect(arr, ks1), ks2))
+    anotb_of = lambda arr: F.size(F.array_except(arr, ks2))
+    union_q = F.when(full, est_full(F.lit(k - 1))).otherwise(
+        (nu * F.lit(_EST_SCALE)).cast("long")
+    )
+    inter_q = F.when(full, est_full(inter_of(below))).otherwise(
+        (inter_of(u) * F.lit(_EST_SCALE)).cast("long")
+    )
+    anotb_q = F.when(full, est_full(anotb_of(below))).otherwise(
+        (anotb_of(u) * F.lit(_EST_SCALE)).cast("long")
+    )
+    return union_q, inter_q, anotb_q
+
+
+def kmv_setops_sql(ks1: str, ks2: str, k: int) -> str:
+    """DuckDB SELECT fragment: (union_est_q, inter_est_q, anotb_est_q)
+    twins of kmv_setops_cols (identical float expression shapes)."""
+    u = f"list_slice(list_sort(list_distinct({ks1} || {ks2})), 1, {k})"
+    nu = f"len({u})"
+    theta = f"({u})[{k}]"
+    below = f"list_slice({u}, 1, {k - 1})"
+    c = repr(float(2**_HASH_BITS * _EST_SCALE))
+
+    def est_full(cnt: str) -> str:
+        return (
+            f"CAST(floor((CAST({cnt} AS DOUBLE) * {c})"
+            f" / CAST({theta} AS DOUBLE)) AS BIGINT)"
+        )
+
+    def inter_of(arr: str) -> str:
+        return f"len(list_intersect(list_intersect({arr}, {ks1}), {ks2}))"
+
+    def anotb_of(arr: str) -> str:
+        return f"len(list_filter({arr}, x -> NOT list_contains({ks2}, x)))"
+
+    return (
+        f"CASE WHEN {nu} >= {k} THEN {est_full(str(k - 1))} "
+        f"ELSE CAST({nu} AS BIGINT) * {_EST_SCALE} END AS union_est_q, "
+        f"CASE WHEN {nu} >= {k} THEN {est_full(inter_of(below))} "
+        f"ELSE CAST({inter_of(u)} AS BIGINT) * {_EST_SCALE} END AS inter_est_q, "
+        f"CASE WHEN {nu} >= {k} THEN {est_full(anotb_of(below))} "
+        f"ELSE CAST({anotb_of(u)} AS BIGINT) * {_EST_SCALE} END AS anotb_est_q"
+    )
+
+
 def _bottom_k_partials(
     keys: list[str], k: int, flush_keys: int
 ) -> "callable":

@@ -27,8 +27,13 @@ from set_sketch_paper_spark.plans.pipeline import NearDupPipeline
 from set_sketch_paper_spark.sources.synthetic import files_table
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persistent_ids(spark) -> set[int]:
+    """IDs of currently-persisted RDDs.  Tests compare ID SETS, not sizes:
+    under the full suite Spark's ContextCleaner asynchronously unpersists
+    OTHER tests' dereferenced blocks, so absolute counts drift mid-test
+    while the set of ids *this* test introduces does not."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
 
 
 def test_cc_loop_does_not_accumulate_round_blocks(spark):
@@ -36,12 +41,12 @@ def test_cc_loop_does_not_accumulate_round_blocks(spark):
     edges = spark.range(63).select(
         F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
     )
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     labels = connected_components(edges)
     assert labels.filter(F.col("cluster_id") != 0).count() == 0
     # steady state: pinned symmetric edges + final round (+1 slack for the
     # initial-labels frame on a 1-round graph); NOT one block set per round
-    assert _n_persistent(spark) - base <= 3
+    assert len(_persistent_ids(spark) - base) <= 3
 
 
 def test_pipeline_stage_sweep_and_release_cache(spark):
@@ -52,15 +57,16 @@ def test_pipeline_stage_sweep_and_release_cache(spark):
         lsh=LSHConfig(num_bands=32, rows_per_band=4),
         jaccard_threshold=0.5,
     )
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     result = NearDupPipeline(pcfg).run(files, id_cols=("repo", "path", "commit"))
     n_clusters = result.clusters.count()
     assert n_clusters == 300
     # after run(): exactly the 5 stage checkpoints survive — CC internals
     # were swept by the clusters stage
-    assert _n_persistent(spark) - base == 5
+    ours = _persistent_ids(spark) - base
+    assert len(ours) == 5, ours
     freed = result.release_cache()
     assert freed == 5
-    assert _n_persistent(spark) == base
+    assert not (_persistent_ids(spark) & ours)
     # idempotent
     assert result.release_cache() == 0

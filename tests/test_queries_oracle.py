@@ -72,6 +72,7 @@ MUST_BE_NONEMPTY = {
     "kmv_doc_cardinality",
     "kmv_jaccard_pairs",
     "kmv_distinct_users",
+    "kmv_setops_pairs",
     "quality_quantiles",
 }
 
