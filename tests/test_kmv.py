@@ -174,3 +174,45 @@ def test_kmv_setops_estimator_brute_force_and_accuracy(spark):
     # 4-sigma-ish accuracy vs truth at k=64 (RSE ~ 12.7%)
     assert abs(row["u"] / 1e6 - 500) / 500 < 0.5
     assert abs(row["d"] / 1e6 - 200) / 200 < 0.6
+
+
+# --- pure-python property test (no Spark): the partial/merge algebra ---
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=300),
+    k=st.integers(min_value=1, max_value=32),
+    n_batches=st.integers(min_value=1, max_value=5),
+    flush=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_partial_merge_algebra_property(vals, k, n_batches, flush, data):
+    """For ANY value multiset, batch split, flush cap, and key mix: merging
+    the emitted partial states (union -> distinct -> sort -> slice k) equals
+    the brute-force bottom-k per key — the invariant that makes kmv_distinct
+    partitioning- and flush-pattern-invariant."""
+    import pandas as pd
+    from set_sketch_paper_spark.operators.kmv import _bottom_k_partials
+
+    keys = [data.draw(st.sampled_from(["x", "y"])) for _ in vals]
+    hashes = [md5_60(v) for v in vals]
+    df = pd.DataFrame({"g": keys, "__h": pd.array(hashes, dtype="int64")})
+    cuts = sorted(data.draw(
+        st.lists(st.integers(0, len(df)), min_size=n_batches - 1, max_size=n_batches - 1)
+    ))
+    batches = [
+        df.iloc[a:b].reset_index(drop=True)
+        for a, b in zip([0] + cuts, cuts + [len(df)])
+    ]
+    fn = _bottom_k_partials(["g"], k, flush)
+    merged: dict[str, set] = {}
+    for out in fn(iter(batches)):
+        for _, row in out.iterrows():
+            merged.setdefault(row["g"], set()).update(row["ks"])
+    for g in set(keys):
+        want = sorted({h for kk, h in zip(keys, hashes) if kk == g})[:k]
+        got = sorted(merged.get(g, set()))[:k]
+        assert got == want, (g, k, flush)

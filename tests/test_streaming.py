@@ -445,3 +445,60 @@ def test_store_manifest_hadoop_fs_path(spark, tmp_path):
     os.makedirs(os.path.join(store, "batch_id=3"))
     assert _list_batch_dirs(store, spark=spark) == _list_batch_dirs(store)
     assert _list_batch_dirs(store, exclude_batch_id=3, spark=spark) == ["batch_id=0"]
+
+
+def test_kmv_store_merge_replay_and_compaction(spark, tmp_path):
+    """Streaming KMV distinct store: merged state == one-shot batch state
+    bit-for-bit, replay is a no-op (idempotent merge), compaction folds to
+    one partition without changing the state, and the manifest refuses
+    mixed-k appends."""
+    from set_sketch_paper_spark.operators.kmv import kmv_distinct
+    from set_sketch_paper_spark.streaming.distinct import (
+        compact_kmv_store,
+        foreach_batch_kmv_distinct,
+        kmv_store_estimates,
+        read_kmv_store,
+    )
+
+    store = str(tmp_path / "kmvstore")
+    k = 16
+    b0 = spark.createDataFrame(
+        [("click", i) for i in range(40)] + [("buy", i) for i in range(5)],
+        "event_type string, user_id long",
+    )
+    b1 = spark.createDataFrame(
+        [("click", i) for i in range(20, 60)], "event_type string, user_id long"
+    )
+    handle = foreach_batch_kmv_distinct(store, "event_type", "user_id", k=k)
+    handle(b0, 0)
+    handle(b1, 1)
+
+    def state():
+        return {
+            r["event_type"]: list(r["ks"])
+            for r in read_kmv_store(spark, store, "event_type", k).collect()
+        }
+
+    want = {
+        r["event_type"]: list(r["ks"])
+        for r in kmv_distinct(b0.union(b1), "event_type", "user_id", k=k).collect()
+    }
+    assert state() == want
+    # replay batch 0: idempotent overwrite, state unchanged
+    handle(b0, 0)
+    assert state() == want
+    # estimates come out of the merged state; 'buy' is exact (5 < k)
+    est = {
+        r["event_type"]: r.asDict()
+        for r in kmv_store_estimates(spark, store, "event_type", k).collect()
+    }
+    assert est["buy"]["n_sk"] == 5 and est["buy"]["est_q"] == 5_000_000
+    assert est["click"]["n_sk"] == k  # 60 distinct > k
+    # compaction: one partition left, identical state
+    assert compact_kmv_store(spark, store, "event_type", k) == 1
+    dirs = [d for d in os.listdir(store) if d.startswith("batch_id=")]
+    assert dirs == ["batch_id=0"]
+    assert state() == want
+    # manifest refuses a different k
+    with pytest.raises(ValueError, match="refusing"):
+        foreach_batch_kmv_distinct(store, "event_type", "user_id", k=8)(b0, 2)
