@@ -74,6 +74,7 @@ MUST_BE_NONEMPTY = {
     "kmv_distinct_users",
     "kmv_setops_pairs",
     "quality_quantiles",
+    "corpus_health_by_source",
 }
 
 
