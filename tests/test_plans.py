@@ -161,3 +161,11 @@ def test_ivf_has_no_cartesian_beyond_single_row_centroids(spark):
     broadcasts (build side is one collect_list row by construction)."""
     plan = _plan(entrymod.queries()["ann_ivf_topk"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_calibrated_quality_filter_broadcasts_thresholds(spark):
+    """The per-lang threshold table must broadcast — a SortMergeJoin here
+    would shuffle the whole corpus to join against ~30 rows."""
+    plan = _plan(entrymod.queries()["calibrated_quality_filter"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

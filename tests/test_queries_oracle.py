@@ -74,6 +74,7 @@ MUST_BE_NONEMPTY = {
     "kmv_distinct_users",
     "kmv_setops_pairs",
     "quality_quantiles",
+    "calibrated_quality_filter",
     "corpus_health_by_source",
 }
 
