@@ -731,6 +731,16 @@ def _q_hmh_doc_cardinality(spark, sf_dir):
     )
 
 
+def _q_kmv_error_mc(spark, sf_dir):
+    """Distributed Monte-Carlo KMV bottom-k bias/RMSE harness (same protocol
+    as cardinality_error_mc; rows-only — the unbiasedness + RSE theory and
+    the exact-below-k regime are asserted in tests/test_mc_bench.py)."""
+    from set_sketch_paper_spark.operators.mc_bench import kmv_error_mc
+
+    return kmv_error_mc(spark, cardinalities=(100, 1000, 10_000),
+                        num_examples=100, k=256)
+
+
 def _q_cardinality_error_mc(spark, sf_dir):
     """Distributed Monte-Carlo GHLL cardinality bias/RMSE harness
     (cardinality_test.cpp restated; rows-only — accuracy is asserted
@@ -1268,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ghll_jaccard_bounds": _q_ghll_jaccard_bounds,
         "ghll_joint_refine": _q_ghll_joint_refine,
         "cardinality_error_mc": _q_cardinality_error_mc,
+        "kmv_error_mc": _q_kmv_error_mc,
         "joint_error_mc": _q_joint_error_mc,
         "multimodal_features": _q_multimodal_features,
         "multimodal_resize": _q_multimodal_resize,

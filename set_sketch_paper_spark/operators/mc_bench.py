@@ -137,3 +137,65 @@ def joint_error_mc(
         )
         .orderBy("inter", "d1", "d2")
     )
+
+
+def kmv_error_mc(
+    spark: SparkSession,
+    cardinalities=(100, 1000, 10_000),
+    num_examples: int = 200,
+    k: int = 256,
+    seed: int = 101,
+) -> DataFrame:
+    """Per-cardinality bias/RMSE of the KMV bottom-k estimator
+    (operators/kmv.py), same MC protocol as cardinality_error_mc: the
+    estimator sees only uniform hash values, so drawing 60-bit uniforms
+    directly IS the md5 sampling model.  Theory (Beyer et al. 2007): the
+    full-sketch estimator (k-1)/U_(k) is unbiased with
+    RSE = sqrt((D-k+1)/(D(k-2))) -> 1/sqrt(k-2) for D >> k; a non-full
+    sketch is the exact distinct set (zero error) — both regimes are
+    asserted in tests/test_mc_bench.py.
+
+    Output schema matches cardinality_error_mc; errors are relative to the
+    example's ACTUAL distinct count (np.unique of the draw), so hash
+    collisions in the simulation cannot bias the protocol."""
+    cards = list(cardinalities)
+
+    def gen(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out = []
+            for ex in pdf["id"].tolist():
+                rng = np.random.RandomState((seed * 1_000_003 + ex) % (2**31 - 1))
+                for card in cards:
+                    hs = np.unique(
+                        rng.randint(0, 2**60, size=card, dtype=np.int64)
+                    )
+                    d = len(hs)
+                    if d < k:
+                        estv = float(d)
+                    else:
+                        kth = np.partition(hs, k - 1)[k - 1]
+                        estv = (k - 1) * 2.0**60 / float(kth)
+                    out.append((ex, card, d, estv))
+            yield pd.DataFrame(
+                out, columns=["example", "cardinality", "true_distinct", "estimate"]
+            )
+
+    examples = spark.range(num_examples, numPartitions=min(64, num_examples))
+    ests = examples.mapInPandas(
+        gen, "example long, cardinality long, true_distinct long, estimate double"
+    )
+    err = (F.col("estimate") - F.col("true_distinct")) / F.col("true_distinct")
+    return (
+        ests.groupBy("cardinality")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.avg("estimate").alias("mean_est"),
+            F.avg(err).alias("rel_bias"),
+            F.sqrt(F.avg(err * err)).alias("rel_rmse"),
+            F.stddev_pop("estimate").alias("stddev_est"),
+            F.kurtosis(err).alias("kurtosis_err"),
+        )
+        .orderBy("cardinality")
+    )

@@ -134,3 +134,35 @@ def test_joint_mc_matches_reference_csv(spark):
         if 0.05 <= j <= 0.95:
             th = math.sqrt(j * (1 - j) / m)
             assert 0.5 * th < r["rmse"] < 2.0 * th, (key, r["rmse"], th)
+
+
+def test_kmv_mc_tracks_theory(spark):
+    """KMV bottom-k estimator: exact below k (zero error), unbiased above k
+    with RSE tracking sqrt((D-k+1)/(D(k-2))) (Beyer et al. 2007), and
+    partitioning-invariant (fixed per-example seeds)."""
+    from set_sketch_paper_spark.operators.mc_bench import kmv_error_mc
+
+    k, n = 64, 150
+    rows = {
+        r["cardinality"]: r.asDict()
+        for r in kmv_error_mc(
+            spark, cardinalities=(50, 5_000), num_examples=n, k=k
+        ).collect()
+    }
+    # below k: the sketch IS the set
+    assert rows[50]["rel_rmse"] == 0.0
+    assert rows[50]["rel_bias"] == 0.0
+    # above k: unbiased within 4 sigma of the mean, RMSE within [0.6, 1.6]x
+    # theory
+    d = 5_000
+    theory = ((d - k + 1) / (d * (k - 2))) ** 0.5
+    assert abs(rows[d]["rel_bias"]) < 4 * theory / n**0.5 + 0.01
+    assert 0.6 * theory < rows[d]["rel_rmse"] < 1.6 * theory
+    # determinism at different parallelism: identical output
+    again = {
+        r["cardinality"]: r.asDict()
+        for r in kmv_error_mc(
+            spark, cardinalities=(50, 5_000), num_examples=n, k=k
+        ).repartition(1).collect()
+    }
+    assert again == rows
