@@ -90,6 +90,70 @@ def make_winnow_fingerprint_udf(sh: ShingleConfig, window: int = 8):
 
     return _udf
 
+def make_lcs_pair_stats_udf(L: int, min_run: int):
+    """(gs1, gs2, hot) -> struct(max_shared_len, n_spans): the exact
+    diagonal-island scan for ONE candidate pair, vectorized in numpy.
+
+    gs1/gs2 are the per-document xxhash64 char-L-gram arrays (index i =
+    1-based position i+1); ``hot`` is the corpus-wide over-cap gram list
+    (identical on every row — a broadcast single-row crossJoin).  Semantics
+    are bit-identical to the one-shuffle bucket-expand form this replaced:
+    hot grams are excluded from matching, every remaining (pos1, pos2) hash
+    match contributes a diagonal entry, and maximal runs of consecutive
+    pos1 on one diagonal are the shared spans (max run + L - 1 = exact
+    longest common substring length; runs >= min_run are counted).
+    """
+
+    @F.pandas_udf("max_shared_len bigint, n_spans bigint")
+    def _udf(gs1: pd.Series, gs2: pd.Series, hot: pd.Series) -> pd.DataFrame:
+        best = np.zeros(len(gs1), dtype=np.int64)
+        spans = np.zeros(len(gs1), dtype=np.int64)
+        hotset: np.ndarray | None = None
+        for i in range(len(gs1)):
+            a = np.asarray(gs1.iloc[i], dtype=np.int64)
+            b = np.asarray(gs2.iloc[i], dtype=np.int64)
+            if hotset is None:
+                hv = hot.iloc[i]
+                hotset = (
+                    np.sort(np.asarray(hv, dtype=np.int64))
+                    if hv is not None and len(hv)
+                    else np.empty(0, dtype=np.int64)
+                )
+            if len(hotset):
+                pa = np.flatnonzero(~np.isin(a, hotset))
+                pb = np.flatnonzero(~np.isin(b, hotset))
+                a, b = a[pa], b[pb]
+            else:
+                pa = pb = None
+            if not len(a) or not len(b):
+                continue
+            order_b = np.argsort(b, kind="stable")
+            sb = b[order_b]
+            lo = np.searchsorted(sb, a, side="left")
+            hi = np.searchsorted(sb, a, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if not total:
+                continue
+            idx1 = np.repeat(np.arange(len(a)), cnt)
+            csum = np.concatenate(([0], np.cumsum(cnt)))
+            within = np.arange(total) - np.repeat(csum[:-1], cnt)
+            idx2 = order_b[np.repeat(lo, cnt) + within]
+            p1 = (pa[idx1] if pa is not None else idx1) + 1
+            p2 = (pb[idx2] if pb is not None else idx2) + 1
+            diag = p1 - p2
+            ordk = np.lexsort((p1, diag))
+            d, q = diag[ordk], p1[ordk]
+            brk = np.flatnonzero((d[1:] != d[:-1]) | (q[1:] != q[:-1] + 1))
+            bounds = np.concatenate(([0], brk + 1, [len(q)]))
+            runlens = np.diff(bounds)
+            best[i] = int(runlens.max()) + L - 1
+            spans[i] = int((runlens >= min_run).sum())
+        return pd.DataFrame({"max_shared_len": best, "n_spans": spans})
+
+    return _udf
+
+
 def make_internal_repeats_udf(min_len: int):
     """text -> struct(longest_repeat_len, n_repeat_positions): exact per-doc
     internal-repeat facts from the suffix-array + Kasai-LCP kernels

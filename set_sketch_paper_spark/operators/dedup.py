@@ -424,19 +424,43 @@ def lcs_substring_pairs(
 
     Two docs share a substring of length S >= L iff they share a run of
     S - L + 1 positionally-consecutive character L-grams on one diagonal
-    (pos1 - pos2 constant).  So: explode (id, pos, xxhash64(L-gram)) —
-    narrow, one index entry per character, the same total index cost as a
-    suffix array — then ONE shuffle groups positions per gram (capped
-    bucket-expand, same skew guard as shared_key_pair_counts: boilerplate
-    grams in > gram_cap positions are dropped), pair expansion keeps both
-    positions, and runs are found per (id1, id2, diag) with a sort_array +
-    aggregate scan (all JVM-side; no window over the corpus).
+    (pos1 - pos2 constant).  r6 two-pass shape (the one-pass bucket-expand
+    on EVERY gram position shuffled ~|corpus chars| index entries and
+    expanded ~sum(f^2) pair-position rows — 389M rows and 140+ s at sf1.0):
+
+    1. CANDIDATES on min_len-char grams: a pair qualifies iff it shares a
+       full min_len-char substring, so each doc publishes its DISTINCT
+       xxhash64(min_len-gram) values and the capped bucket-expand on those
+       yields a complete candidate-pair superset.  The index has the same
+       ~one-entry-per-character row count as the old L-gram index, but the
+       quadratic expansion collapses: an L-gram match only needs 16 shared
+       chars and is everywhere (sum f^2 = 389M pair rows at sf1.0), a
+       min_len-gram match needs the full 32 and occurs essentially only on
+       genuinely-duplicated spans (~output-scale).  The cap is sound: a
+       min_len-gram present in > gram_cap docs forces every constituent
+       L-gram over gram_cap occurrences — hot, so the exact pass drops that
+       span anyway (modulo 64-bit hash collisions merging buckets, the
+       same risk class the one-pass form accepted).
+    2. EXACT per-pair scan: candidate pairs (few — output-scale, not
+       index-scale) join the per-doc xxhash64 gram arrays (built map-side,
+       never shuffled corpus-wide) and a broadcast single-row list of hot
+       grams (occurrences > gram_cap, the same global cap as before); a
+       vectorized numpy kernel (make_lcs_pair_stats_udf) recomputes the
+       diagonal runs bit-identically to the old JVM aggregate scan: hot
+       grams excluded, every surviving hash match a diagonal entry, maximal
+       consecutive-pos1 runs per diagonal, max run + L - 1 and the count of
+       runs >= min_run.
+
+    Guide mapping: §2.3/§2.4 (shuffle a lightweight hash index, decide
+    candidates on it, move the heavy gram arrays once, only for candidate
+    pairs — the §8 proxy-shuffle pattern) and §4.2 (per-pair scan in numpy
+    instead of a 389M-row shuffle + sort_array aggregate).
 
     Output: (id1 < id2, max_shared_len, n_spans) where max_shared_len is the
     EXACT longest common substring length (>= min_len) and n_spans counts
     maximal shared-run occurrences of length >= min_len across diagonals.
-    Joins on the 64-bit gram hash, not the gram string (ngram_jaccard_pairs'
-    shuffle-bytes argument, dedup.py:281-287); a hash collision can only
+    Matching is on the 64-bit gram hash, not the gram string
+    (ngram_jaccard_pairs' shuffle-bytes argument); a hash collision can only
     seed a length-1 island, invisible unless min_len == L.
 
     Reference parity: set-sketch-paper evaluates Jaccard over shingle sets
@@ -445,6 +469,7 @@ def lcs_substring_pairs(
     scale.  DuckDB oracle: same construction with a string-gram join and a
     ROW_NUMBER island trick (__spark_entry__.oracle_sql()['lcs_substring_pairs']).
     """
+    from ..functions.textstats_udfs import make_lcs_pair_stats_udf
     from ..operators.signatures import widen_if_narrow
 
     min_run = min_len - L + 1
@@ -452,64 +477,73 @@ def lcs_substring_pairs(
         raise ValueError(f"min_len ({min_len}) must be >= L ({L})")
     t = widen_if_narrow(df).select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
-    )
-    grams = (
-        t.filter(F.length("_t") >= L)
-        .select(
-            "_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length(_t) - {L} + 1), "
-                    f"i -> struct(cast(i as bigint) as pos, "
-                    f"xxhash64(substring(_t, i, {L})) as g))"
-                )
-            ).alias("e"),
-        )
-        .select("_id", "e.pos", "e.g")
-    )
-    buckets = grams.groupBy("g").agg(
-        F.collect_list(F.struct(F.col("_id").alias("id"), F.col("pos").alias("pos"))).alias("xs")
-    )
-    ok = buckets.filter((F.size("xs") >= 2) & (F.size("xs") <= gram_cap))
-    pair_expr = F.explode(
+    ).filter(F.length("_t") >= L)
+
+    # per-doc gram-hash arrays, map-side only (gs[i] = xxhash64 of the gram
+    # at 1-based char position i+1 — identical values to the old exploded
+    # index); shuffled only for the few candidate pairs below
+    gs = t.select(
+        "_id",
         F.expr(
-            "flatten(transform(xs, (x, i) -> "
-            "transform(slice(xs, i + 2, size(xs)), y -> struct("
-            "if(x.id < y.id, x, y) as a, if(x.id < y.id, y, x) as b))))"
-        )
-    ).alias("p")
-    diag = (
-        ok.select(pair_expr)
-        .filter(F.col("p.a.id") != F.col("p.b.id"))
+            f"transform(sequence(1, length(_t) - {L} + 1), "
+            f"i -> xxhash64(substring(_t, i, {L}))) as gs"
+        ),
+    )
+
+    # corpus-wide hot grams (> gram_cap occurrences) as ONE broadcastable
+    # row.  Shape note: explode the POSITION sequence and hash per row —
+    # exploding a pre-built transform() array goes through a non-codegen
+    # Generate over nested data and measured 12x slower at sf1.0 (16.5s vs
+    # 1.2s for the same 14M hashes).
+    hot_row = (
+        t.select("_t", F.explode(F.expr(f"sequence(1, length(_t) - {L} + 1)")).alias("i"))
+        .select(F.expr(f"xxhash64(substring(_t, i, {L}))").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > gram_cap)
+        .agg(F.collect_list("g").alias("hot"))
+    )
+
+    # pass 1: min_len-gram hash index -> candidate pairs (complete superset;
+    # all-JVM, no Python boundary).  Per-doc duplicate values are not
+    # deduped here — duplicate bucket entries only produce duplicate pair
+    # rows that the pair groupBy collapses, and the cap stays sound on
+    # occurrence counts (occurrences(min_len-gram) <= occurrences of each
+    # constituent L-gram).
+    fp = (
+        t.filter(F.length("_t") >= min_len)
         .select(
-            F.col("p.a.id").alias("id1"),
-            F.col("p.b.id").alias("id2"),
-            F.col("p.a.pos").alias("pos1"),
-            (F.col("p.a.pos") - F.col("p.b.pos")).alias("diag"),
+            "_id", "_t",
+            F.explode(F.expr(f"sequence(1, length(_t) - {min_len} + 1)")).alias("i"),
         )
+        .select("_id", F.expr(f"xxhash64(substring(_t, i, {min_len}))").alias("g"))
     )
-    # within (id1, id2, diag) the pos1 values are distinct (one gram per
-    # position), so maximal runs of consecutive ints ARE the shared spans
-    runs = diag.groupBy("id1", "id2", "diag").agg(
-        F.sort_array(F.collect_list("pos1")).alias("ps")
+    cand = shared_key_pair_counts(fp, gram_cap, 1).select("id1", "id2")
+
+    # pass 2: exact diagonal-run scan per candidate pair.  The one-row hot
+    # list rides a dummy-key BROADCAST HASH join (an actual crossJoin would
+    # plan as BroadcastNestedLoopJoin and trip the no-cartesian audit), and
+    # the kernel is marked nondeterministic so the >= min_len filter is not
+    # pushed below/duplicated around the Python evaluation (guide §4.4).
+    paired = (
+        cand.join(gs.select(F.col("_id").alias("id1"), F.col("gs").alias("gs1")), "id1")
+        .join(gs.select(F.col("_id").alias("id2"), F.col("gs").alias("gs2")), "id2")
+        # both keys are data-derived zeros (least(size(x), 0) == 0 because
+        # size >= 0, which the optimizer cannot prove): a literal on either
+        # side would be constant-folded, the condition pushed down as a
+        # filter, and the join demoted to a nested-loop cross join — this
+        # way it stays a real BroadcastHashJoin on matching keys
+        .withColumn("_k", F.least(F.size("gs1"), F.lit(0)))
+        .join(F.broadcast(hot_row.withColumn("_k", F.least(F.size("hot"), F.lit(0)))), "_k")
     )
-    scan = F.expr(
-        "aggregate(ps, "
-        "struct(cast(-10 as bigint) as prev, cast(0 as bigint) as run, "
-        "cast(0 as bigint) as best, cast(0 as bigint) as cnt), "
-        "(acc, x) -> struct(x as prev, "
-        "if(x = acc.prev + 1, acc.run + 1, cast(1 as bigint)) as run, "
-        "greatest(acc.best, if(x = acc.prev + 1, acc.run + 1, cast(1 as bigint))) as best, "
-        f"acc.cnt + if(x != acc.prev + 1 and acc.run >= {min_run}, 1, 0) as cnt), "
-        f"acc -> struct(acc.best + {L - 1} as max_len, "
-        f"acc.cnt + if(acc.run >= {min_run}, 1, 0) as n_spans))"
-    )
+    kernel = make_lcs_pair_stats_udf(L, min_run).asNondeterministic()
     return (
-        runs.select("id1", "id2", scan.alias("s"))
-        .groupBy("id1", "id2")
-        .agg(
-            F.max("s.max_len").alias("max_shared_len"),
-            F.sum("s.n_spans").alias("n_spans"),
+        paired.select("id1", "id2", kernel("gs1", "gs2", "hot").alias("s"))
+        .select(
+            "id1",
+            "id2",
+            F.col("s.max_shared_len").alias("max_shared_len"),
+            F.col("s.n_spans").alias("n_spans"),
         )
         .filter(F.col("max_shared_len") >= min_len)
     )

@@ -105,3 +105,67 @@ def test_gram_cap_drops_boilerplate(spark):
 def test_min_len_below_L_raises(spark):
     with pytest.raises(ValueError):
         _run(spark, ["abc"], L=16, min_len=10)
+
+
+def _reference_capped_pairs(docs, L, min_len, gram_cap):
+    """Pure-python twin of the capped diagonal-island semantics: grams whose
+    corpus-wide occurrence count exceeds gram_cap are dropped, every
+    surviving gram match is a diagonal entry, maximal consecutive-pos runs
+    per (pair, diagonal) are spans; per pair: (max run + L - 1, count of
+    runs >= min_len - L + 1), filtered to max >= min_len."""
+    from collections import Counter, defaultdict
+
+    min_run = min_len - L + 1
+    grams = {
+        i: [t[p : p + L] for p in range(len(t) - L + 1)] if len(t) >= L else []
+        for i, t in enumerate(docs)
+    }
+    freq = Counter(g for gs in grams.values() for g in gs)
+    out = {}
+    ids = sorted(grams)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            i1, i2 = ids[x], ids[y]
+            diags = defaultdict(list)
+            for p1, g1 in enumerate(grams[i1]):
+                if freq[g1] > gram_cap:
+                    continue
+                for p2, g2 in enumerate(grams[i2]):
+                    if g1 == g2:
+                        diags[p1 - p2].append(p1)
+            best, spans = 0, 0
+            for ps in diags.values():
+                run = 1
+                ps = sorted(ps)
+                for a, b in zip(ps, ps[1:] + [None]):
+                    if b == a + 1:
+                        run += 1
+                    else:
+                        best = max(best, run)
+                        if run >= min_run:
+                            spans += 1
+                        run = 1
+            if best and best + L - 1 >= min_len:
+                out[(i1, i2)] = (best + L - 1, spans)
+    return out
+
+
+def test_hot_gram_inside_long_span_splits_runs(spark):
+    """The r6 two-pass rewrite must keep the capped semantics when a HOT
+    gram sits INSIDE a longer shared span: the hot positions are excluded,
+    splitting the diagonal run exactly as the one-pass bucket-expand did.
+    Eight docs share a 48-char boilerplate block (its interior 16-grams
+    exceed gram_cap=4); two of them additionally share unique flanks around
+    it, so their shared span is flank+block+flank with a hot hole in the
+    middle."""
+    block = "B" * 48  # all interior 16-grams identical and hot (f >= 8)
+    flank1 = "left-unique-flank-0123456789abcdef"   # 34 chars, only docs 0/1
+    flank2 = "right-unique-flank-0123456789abcde"   # 34 chars, only docs 0/1
+    shared = flank1 + block + flank2
+    docs = [f"pre0 {shared} post0", f"pre1 {shared} post1"] + [
+        f"doc{i:02d} {block} tail{i:02d}" for i in range(2, 8)
+    ]
+    expected = _reference_capped_pairs(docs, L=16, min_len=32, gram_cap=4)
+    got = _run(spark, docs, L=16, min_len=32, gram_cap=4)
+    assert (0, 1) in expected  # the planted pair must survive via its flanks
+    assert got == expected
