@@ -113,9 +113,11 @@ def _coded(corpus: DataFrame, id_col: str, vec_col: str, n_bits: int,
     bucket-size side table has at most n_tables * 2^n_bits rows, so the
     hot-bucket filter is a broadcast join — no extra big-side shuffle.
     """
+    from ..operators.signatures import widen_if_narrow
+
     codes_udf = _hyperplane_codes_udf(n_bits, n_tables, seed)
     coded = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        widen_if_narrow(corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
         .withColumn("_codes", codes_udf(F.col("_v")))
         .withColumn("qv", _quantized(F.col("_v")))
         .withColumn("norm", _dot(F.col("qv"), F.col("qv")))
@@ -152,6 +154,88 @@ def _join_vectors(pairs: DataFrame, vecs: DataFrame, left: str, right: str) -> D
     return pairs.join(v1, left).join(v2, right)
 
 
+def _bucket_topk_kernel(k: int, bucket_cap: int):
+    """applyInPandas kernel for ONE LSH bucket: BLAS-matmul all pairwise
+    integer dots and emit, per member, a provably sufficient superset of its
+    bucket-local top-k — (query_id, neighbor_id, dot, qnorm, cnorm) with the
+    dot/norms as EXACT int64, so the final cos_q is computed by the same
+    Spark expression as ever and is bit-identical.
+
+    Margin proof (why emitting u >= u_(k) - 2.0 loses nothing): u here is
+    the unrounded 1e6*dot/sqrt(n1*n2) in float64 (exact-integer inputs, so
+    within ~1e-9 of Spark's value) and cos_q = round-half-up(u).  If x is
+    excluded, at least k candidates c in this bucket have u(c) > u(x) + 2,
+    hence cos_q(c) >= cos_q(x) + 1 (round(y) is within 0.5 of y), i.e. k
+    candidates beat x strictly even after rounding — x cannot be in the
+    GLOBAL top-k either, because every global candidate co-buckets with the
+    query somewhere and this argument applies in that bucket.  Ties at the
+    rounded value (broken by neighbor_id) are safe: tied candidates differ
+    by < 2 in u and are all emitted.
+
+    Zero-norm rows make u NaN; their pairs are emitted unconditionally so
+    the Spark-side expression decides their fate exactly as before.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "query_id": np.empty(0, np.int64),
+            "neighbor_id": np.empty(0, np.int64),
+            "dot": np.empty(0, np.int64),
+            "qnorm": np.empty(0, np.int64),
+            "cnorm": np.empty(0, np.int64),
+        }
+        m = len(pdf)
+        if m < 2 or m > bucket_cap:  # same hot-bucket drop as the join form
+            return pd.DataFrame(empty)
+        ids = pdf["_id"].to_numpy(np.int64)
+        norms = pdf["norm"].to_numpy(np.int64)
+        V = np.vstack([np.asarray(v, np.float64) for v in pdf["qv"]])
+        zmask = norms == 0
+        z = int(zmask.sum())
+        out_q, out_n, out_d = [], [], []
+        CH = 2048
+        for s in range(0, m, CH):
+            e = min(m, s + CH)
+            rows = e - s
+            D = V[s:e] @ V.T  # quantized dots: exact integers < 2^53
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # same op order as the Spark expression: long*long (wrapping)
+                # -> double -> sqrt -> divide
+                denom = np.sqrt((norms[s:e, None] * norms[None, :]).astype(np.float64))
+                U = (1e6 * D) / denom
+            U[np.arange(rows), np.arange(s, e)] = np.nan  # exclude self
+            if m - 1 - z > k:
+                pos = m - 1 - z - k  # kth-largest finite value (NaNs sort last)
+                thr = np.partition(U, pos, axis=1)[:, pos] - 2.0
+            else:
+                thr = np.full(rows, -np.inf)
+            with np.errstate(invalid="ignore"):
+                mask = U >= thr[:, None]
+            if z:
+                mask |= zmask[None, :]  # pairs with zero-norm neighbors
+                mask[zmask[s:e], :] = True  # zero-norm queries emit all
+                mask[np.arange(rows), np.arange(s, e)] = False  # never self
+            qi, nj = np.nonzero(mask)
+            out_q.append(qi + s)
+            out_n.append(nj)
+            out_d.append(D[qi, nj].astype(np.int64))
+        qi = np.concatenate(out_q)
+        nj = np.concatenate(out_n)
+        return pd.DataFrame(
+            {
+                "query_id": ids[qi],
+                "neighbor_id": ids[nj],
+                "dot": np.concatenate(out_d),
+                "qnorm": norms[qi],
+                "cnorm": norms[nj],
+            }
+        )
+
+    return kern
+
+
 def hyperplane_ann_topk(
     corpus: DataFrame,
     k: int = 10,
@@ -166,24 +250,39 @@ def hyperplane_ann_topk(
 
     Candidates = pairs sharing a bucket in ANY of n_tables codes (buckets
     larger than ``bucket_cap`` dropped — the skew guard for degenerate
-    hyperplane cells); exact integer-quantized cosine re-ranks candidates.
+    hyperplane cells); exact integer-quantized cosine ranks candidates.
+
+    r6 shape (guide §4.2): the old slim-self-join materialized sum(s^2)
+    candidate rows per bucket (37M at sf1.0) and scored each with a
+    per-row zip_with/aggregate dot — ~48s at sf1.0.  Now ONE shuffle
+    groups each bucket's (id, qv, norm) and a BLAS matmul kernel
+    (_bucket_topk_kernel) scores the bucket in native code, emitting only
+    a per-query margin-superset of the bucket top-k with EXACT integer
+    dots/norms; Spark then dedups across tables, evaluates the identical
+    cos_q expression on those integers, and takes the global top-k — so
+    results are bit-identical while the candidate volume drops from
+    sum(s^2) rows to ~k per (member, table).
     Recall vs brute force is tested in tests/test_similarity.py.
     """
-    slim, vecs = _coded(corpus, id_col, vec_col, n_bits, n_tables, seed, bucket_cap)
-    cand = (
-        slim.alias("a")
-        .join(slim.alias("b"), ["table_idx", "code"])
-        .filter(F.col("a._id") != F.col("b._id"))
-        .select(
-            F.col("a._id").alias("query_id"),
-            F.col("b._id").alias("neighbor_id"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    from ..operators.signatures import widen_if_narrow
+
+    codes_udf = _hyperplane_codes_udf(n_bits, n_tables, seed)
+    coded = (
+        widen_if_narrow(corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
+        .withColumn("_codes", codes_udf(F.col("_v")))
+        .withColumn("qv", _quantized(F.col("_v")))
+        .withColumn("norm", _dot(F.col("qv"), F.col("qv")))
+        .drop("_v")
     )
-    scored = (
-        _join_vectors(cand, vecs, "query_id", "neighbor_id")
-        .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
-        .withColumn("cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm")))
+    slim = coded.select(
+        "_id", "qv", "norm", F.posexplode("_codes").alias("table_idx", "code")
+    )
+    cand = slim.groupBy("table_idx", "code").applyInPandas(
+        _bucket_topk_kernel(k, bucket_cap),
+        schema="query_id long, neighbor_id long, dot long, qnorm long, cnorm long",
+    )
+    scored = cand.dropDuplicates(["query_id", "neighbor_id"]).withColumn(
+        "cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
     return (
@@ -281,17 +380,26 @@ def ivf_ann_topk(
     recall vs brute force is gated in tests/test_similarity.py.
     Output: (query_id, neighbor_id, rank, cos_q).
     """
+    from ..operators.signatures import widen_if_narrow
+
     base = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        # widen FIRST: the quantize/dot lambdas and the 16-cell ranking
+        # below are interpreted (higher-order functions skip codegen), and a
+        # small parquet arrives as 1-2 row groups — without this the whole
+        # query serializes behind single-task expression evaluation
+        # (measured 12s -> ~2s at sf1.0)
+        widen_if_narrow(corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
         .withColumn("qv", _quantized(F.col("_v")))
         .withColumn("norm", _dot(F.col("qv"), F.col("qv")))
         .drop("_v")
-        # evaluated once for seeds + assignment + scoring; ContextCleaner
-        # frees the blocks when unreachable (same rationale as _coded)
-        .localCheckpoint(eager=True)
     )
     cents_row = _ivf_cells(base, n_cells, seed)
-    ranked = _ivf_ranked_cells(base, cents_row)
+    # checkpoint RANKED, not base: ranked carries (_id, qv, norm, _cells),
+    # so members, probes AND the scoring vecs all read one materialization —
+    # previously the interpreted 16-cell ranking re-ran for every branch
+    # (members + probes + scoring = 3x at sf1.0).  ContextCleaner frees the
+    # blocks when unreachable (same rationale as _coded).
+    ranked = _ivf_ranked_cells(base, cents_row).localCheckpoint(eager=True)
 
     members = ranked.select(
         F.col("_id").alias("neighbor_id"), F.element_at("_cells", 1).alias("cell")
@@ -319,7 +427,7 @@ def ivf_ann_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    vecs = base.select("_id", "qv", "norm")
+    vecs = ranked.select("_id", "qv", "norm")
     scored = (
         _join_vectors(cand, vecs, "query_id", "neighbor_id")
         .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
