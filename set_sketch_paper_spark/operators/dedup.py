@@ -251,44 +251,147 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     min_shared: int = 1,
     gram_cap: int = 10_000,
+    prefix_q: int = 5,
 ) -> DataFrame:
     """EXACT k-gram Jaccard pairs, computed relationally (no sketches).
 
     Token k-grams are built JVM-side with transform/slice over the split
-    array; the pair intersection count comes from the capped bucket-expand
-    (shared_key_pair_counts) — the exact-oracle twin of the MinHash path,
-    used for recall accounting and small-corpus dedup.  Returns pairs with
-    inter_count/union_count (exact ints) and jaccard_q = round(1e6*J).
-    Threshold is the rational threshold_num/threshold_den (ints avoid float
-    comparison drift vs SQL oracles).
+    array.  Returns pairs with inter_count/union_count (exact ints) and
+    jaccard_q = round(1e6*J).  Threshold is the rational
+    threshold_num/threshold_den (ints avoid float comparison drift vs SQL
+    oracles).
 
-    ``gram_cap``: grams present in more than this many documents (stop-grams,
-    boilerplate headers) are dropped from the intersection count — without
-    the cap one hot gram in f docs emits f(f-1)/2 pair rows.  The default
-    sits far above any test corpus' max doc-frequency, so oracle parity at
-    sf<=0.1 is unaffected; production callers tune it and consume the
-    skipped-key report via shared_key_pair_counts(with_skipped=True).
+    r6 q-prefix shape (guide §2.3: shuffle fewer bytes by pruning
+    candidates before the quadratic step).  The old form bucket-expanded
+    EVERY gram occurrence (sum f^2 = 127M pair rows at sf1.0, 39-56s) and
+    counted 52M mostly-1-shared-gram pairs.  Instead, candidates come from
+    a PREFIX index under a global rarity order (AllPairs/PPJoin family,
+    generalized to require q shared prefix grams):
+
+      For an output pair, inter >= tau_i := max(min_shared,
+      ceil(n_i*num/den)) for each side i (from J >= num/den and
+      inter <= n_other).  Sort each doc's non-hot grams by global
+      (frequency, hash); with prefix length p_i = n_i' - tau_i +
+      min(q, tau_i) the q' = min(q, tau_1, tau_2) globally-rarest shared
+      grams provably sit inside BOTH prefixes (if the j-th rarest shared
+      gram c_j, j <= q', missed d's prefix, d would hold >= p_d elements
+      rarer than c_j of which < j are shared, forcing inter < tau_d).
+      So pairs sharing < q' prefix grams cannot be output pairs, and a
+      2*min(n1,n2) >= max(n1,n2)-style size filter (den*min >= num*max)
+      drops impossible pairs at expansion.
+
+    Prefix buckets are tiny (the rarest grams), so the expansion collapses
+    to candidate scale; the handful of candidates is then verified EXACTLY
+    with array_intersect over per-doc non-hot gram-hash arrays — identical
+    inter/union/jaccard_q arithmetic, verified row-identical vs the old
+    form at sf0.001-1.0.
+
+    ``gram_cap``: grams present in more than this many documents
+    (stop-grams, boilerplate headers) are dropped from the intersection
+    count — the same skew guard as before (one hot gram in f docs would
+    emit f(f-1)/2 pair rows).  The default sits far above any test corpus'
+    max doc-frequency, so oracle parity at sf<=0.1 is unaffected.
+    Grouping keys are 64-bit gram hashes, not gram strings (fewer shuffle
+    bytes; collisions ~|grams|^2/2^64, and the exact SQL oracle joins on
+    strings with agreement asserted at sf0.01).
     """
     from ..operators.signatures import widen_if_narrow
 
     toks = widen_if_narrow(df).select(
         F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("t")
     )
-    grams = toks.select(
-        "_id", token_kgram_array(F.col("t"), k, sep="").alias("grams")
+    # flat gram construction: explode the POSITION sequence and hash one
+    # gram per row.  Exploding a transform()-built array goes through a
+    # non-codegen Generate and measured 28x slower at sf1.0 (16.7s vs 0.6s
+    # for the same 2.6M grams) — the same shape lesson as
+    # lcs_substring_pairs.  Short docs (< k tokens) emit one whole-doc gram
+    # at i=1, matching token_kgram_array.
+    raw = toks.select(
+        "_id", "t",
+        F.explode(F.expr(f"sequence(1, greatest(1, size(t) - {k} + 1))")).alias("i"),
     )
-    sizes = grams.select("_id", F.size("grams").alias("n_grams"))
-    # group on the 64-bit gram hash, not the gram string: halves-to-quarters
-    # the shuffle bytes.  xxhash64 collisions across a corpus' distinct grams
-    # are ~|grams|^2/2^64 — negligible; the exact SQL oracle joins on strings
-    # and agreement is asserted at sf0.01.
-    exploded = grams.select(
-        "_id", F.explode("grams").alias("_g")
-    ).select("_id", F.xxhash64("_g").alias("g"))
-    inter = shared_key_pair_counts(exploded, gram_cap, min_shared)
+    rawg = raw.select(
+        "_id",
+        F.xxhash64(
+            F.when(
+                F.size("t") >= k, F.concat_ws("", F.slice("t", F.col("i"), k))
+            ).otherwise(F.concat_ws("", "t"))
+        ).alias("g"),
+    )
+    d = rawg.dropDuplicates(["_id", "g"])  # per-doc DISTINCT grams
+    freq = d.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+
+    # integer ceil(n*num/den) — exact, no float division
+    def _tau(n_col):
+        return F.greatest(
+            F.lit(min_shared),
+            ((n_col * threshold_num + threshold_den - 1) / threshold_den).cast(LongType()),
+        )
+
+    # ONE per-doc collect produces everything doc-local: full distinct-gram
+    # count n (hot included), the rarity-sorted non-hot hash array (verify
+    # side), and its prefix (candidate side) — no corpus-wide window
+    per_doc = (
+        d.join(freq, "g")
+        .groupBy("_id")
+        .agg(F.collect_list(F.struct(F.col("f"), F.col("g"))).alias("fg"))
+        .withColumn("n", F.size("fg"))
+        .withColumn(
+            "garr",
+            F.transform(
+                F.array_sort(F.filter("fg", lambda x: x["f"] <= F.lit(gram_cap))),
+                lambda x: x["g"],
+            ),
+        )
+        .withColumn(
+            "prefarr",
+            F.slice(
+                "garr",
+                F.lit(1),
+                F.greatest(
+                    F.lit(0),
+                    F.size("garr") - _tau(F.col("n"))
+                    + F.least(F.lit(prefix_q), _tau(F.col("n"))),
+                ),
+            ),
+        )
+        .select("_id", "n", "garr", "prefarr")
+    )
+    pref = per_doc.select("_id", "n", F.explode("prefarr").alias("g"))
+
+    buckets = pref.groupBy("g").agg(
+        F.collect_list(F.struct(F.col("_id").alias("id"), F.col("n").alias("n"))).alias("xs")
+    )
+    # no cap needed here: a prefix bucket is at most f <= gram_cap entries
+    pair_expr = F.explode(
+        F.expr(
+            "flatten(transform(xs, (x, i) -> "
+            "filter(transform(slice(xs, i + 2, size(xs)), y -> struct("
+            "least(x.id, y.id) as id1, greatest(x.id, y.id) as id2, "
+            "if(x.id < y.id, x.n, y.n) as n1, if(x.id < y.id, y.n, x.n) as n2)), "
+            f"p -> {threshold_den} * least(p.n1, p.n2) >= {threshold_num} * greatest(p.n1, p.n2))))"
+        )
+    ).alias("p")
+    cand = (
+        buckets.filter(F.size("xs") >= 2)
+        .select(pair_expr)
+        .select("p.id1", "p.id2", "p.n1", "p.n2")
+        .filter(F.col("id1") != F.col("id2"))
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("_shared_pref"))
+        .filter(
+            F.col("_shared_pref")
+            >= F.least(F.lit(prefix_q), _tau(F.col("n1")), _tau(F.col("n2")))
+        )
+        .select("id1", "id2", "n1", "n2")
+    )
+
+    # exact verification on the per-doc non-hot gram-hash arrays
     out = (
-        inter.join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("n_grams", "n1"), "id1")
-        .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("n_grams", "n2"), "id2")
+        cand.join(per_doc.select(F.col("_id").alias("id1"), F.col("garr").alias("gs1")), "id1")
+        .join(per_doc.select(F.col("_id").alias("id2"), F.col("garr").alias("gs2")), "id2")
+        .withColumn("inter_count", F.size(F.array_intersect("gs1", "gs2")))
+        .filter(F.col("inter_count") >= min_shared)
         .withColumn("union_count", F.col("n1") + F.col("n2") - F.col("inter_count"))
         .filter(
             F.col("inter_count") * threshold_den >= F.col("union_count") * threshold_num
