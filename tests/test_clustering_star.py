@@ -20,7 +20,9 @@ def _clusters(df):
 
 def _check_all_equal(spark, edge_rows, with_plain=False):
     edges = spark.createDataFrame(edge_rows, "id1 long, id2 long")
-    a = _clusters(connected_components(edges))
+    a = _clusters(connected_components(edges))  # small-graph union-find path
+    a_loop = _clusters(connected_components(edges, small_graph_edges=0))
+    assert a == a_loop  # fast path == pointer-jumping loop
     b = _clusters(connected_components_star(edges))
     assert a == b
     if with_plain:  # plain propagation is O(diameter) — small graphs only
@@ -50,8 +52,11 @@ def test_star_cc_shuffled_path(spark):
     got = _clusters(connected_components_star(edges))
     assert set(got.values()) == {10}
     assert len(got) == 250
+    # the size-adaptive union-find path solves this graph outright; force
+    # the pointer-jumping loop to check it still refuses half-merged labels
+    assert _clusters(connected_components(edges)) == got
     with pytest.raises(RuntimeError, match="connected_components_star"):
-        connected_components(edges, max_iterations=10)
+        connected_components(edges, max_iterations=10, small_graph_edges=0)
 
 
 def test_star_cc_disjoint_cliques_and_singletable(spark):
