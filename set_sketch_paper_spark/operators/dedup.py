@@ -356,6 +356,12 @@ def ngram_jaccard_pairs(
             ),
         )
         .select("_id", "n", "garr", "prefarr")
+        # consumed three times (prefix index + both verify joins); without
+        # this the whole dedup->freq->join->collect chain re-runs per
+        # consumer.  localCheckpoint, not persist — ContextCleaner frees the
+        # blocks when the plan becomes unreachable (same rationale as the
+        # ANN _coded checkpoint).
+        .localCheckpoint(eager=True)
     )
     pref = per_doc.select("_id", "n", F.explode("prefarr").alias("g"))
 

@@ -81,9 +81,15 @@ def _est_num(k: int) -> float:
 def kmv_from_array(arr_col, k: int) -> Column:
     """Map-side KMV over an array<string> column (e.g. a per-document gram
     array): bottom-k distinct 60-bit hashes, sorted ascending.  Pure
-    expression — zero shuffle, zero Python."""
+    expression — zero shuffle, zero Python.
+
+    NULL array elements are dropped before hashing (md5(NULL) is NULL in
+    Spark but list_distinct REMOVES NULLs in DuckDB): 'NULL is not a set
+    element' is the engine-independent convention kmv_distinct already
+    applies, and filtering here keeps the two twins bit-identical on
+    NULL-containing inputs (ADVICE r5)."""
     hashed = F.transform(
-        arr_col,
+        F.filter(arr_col, lambda g: g.isNotNull()),
         lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
     )
     return F.slice(F.array_sort(F.array_distinct(hashed)), 1, k)
@@ -263,12 +269,20 @@ def _bottom_k_partials(
             state.clear()
             return out
 
+        def norm(x):
+            # pandas encodes a NULL group key as NaN/None; emit it as None
+            # so Arrow writes a genuine null and the final Spark groupBy
+            # keeps the NULL-key group (a plain Spark groupBy does; pandas'
+            # default dropna=True silently lost it — ADVICE r5)
+            return None if x is None or (isinstance(x, float) and np.isnan(x)) else x
+
         for pdf in batches:
             if pdf.empty:
                 continue
             hs = pdf["__h"].to_numpy(dtype=np.int64)
-            for kt, idx in pdf.groupby(keys, sort=False).indices.items():
+            for kt, idx in pdf.groupby(keys, sort=False, dropna=False).indices.items():
                 kt = kt if isinstance(kt, tuple) else (kt,)
+                kt = tuple(norm(x) for x in kt)
                 merged = hs[idx]
                 prev = state.get(kt)
                 if prev is not None:
@@ -297,7 +311,11 @@ def kmv_distinct(
     with_kmv_estimate for (n_sk, kth_v, est_q)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     # NULL values are not elements of the distinct set (and would poison the
-    # int64 partial arrays); the SQL oracle filters identically
+    # int64 partial arrays); the SQL oracle filters identically.  No widen
+    # guard here (unlike the signature/ANN python stages): the per-row work
+    # is one hash compare, so an A/B at sf1.0 showed the repartition
+    # shuffle costs more than the extra parallelism buys (2.6-3.0s unwidened
+    # vs 3.5-8.0s widened on a 4-partition 1M-row scan).
     hashed = df.select(*keys, kmv_hash_col(value_col).alias("__h")).filter(
         F.col("__h").isNotNull()
     )

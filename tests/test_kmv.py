@@ -73,6 +73,29 @@ def test_kmv_distinct_flush_cap_and_null_values(spark):
     assert "b" not in out
 
 
+def test_kmv_distinct_keeps_null_key_group(spark):
+    """ADVICE r5: a NULL key value is a legitimate group (Spark groupBy and
+    the DuckDB oracle both keep it) — the pandas partials must not silently
+    drop those rows."""
+    rows = [Row(g=None, v=i) for i in range(50)] + [Row(g="a", v=i) for i in range(20)]
+    df = spark.createDataFrame(rows, schema="g string, v int")
+    out = {r["g"]: list(r["ks"]) for r in kmv_distinct(df, "g", "v", k=8).collect()}
+    assert out[None] == bottom_k(range(50), 8)
+    assert out["a"] == bottom_k(range(20), 8)
+
+
+def test_kmv_from_array_drops_null_elements(spark):
+    """ADVICE r5: NULL is not a set element — kmv_from_array must match the
+    DuckDB twin's list_distinct behavior (which removes NULLs) instead of
+    keeping a NULL hash in the bottom-k array."""
+    df = spark.createDataFrame(
+        [Row(a=["x", None, "y", None])], schema="a array<string>"
+    )
+    got = list(df.select(kmv_from_array(F.col("a"), 8).alias("ks")).collect()[0]["ks"])
+    assert got == bottom_k(["x", "y"], 8)
+    assert None not in got
+
+
 def test_estimator_exact_below_k_and_statistical_above(spark):
     rows = [Row(g="small", v=i) for i in range(20)] + [
         Row(g="big", v=i) for i in range(20_000)
