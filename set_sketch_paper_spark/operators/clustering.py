@@ -50,6 +50,12 @@ class _RoundBlockTracker:
     discoverable by diffing the context's persistent-RDD map around the
     materialize call (JVM-side map, no driver data).  Reliable-checkpoint
     mode writes files instead of cache blocks; tracking is a no-op there.
+
+    SINGLE-THREADED ASSUMPTION (ADVICE r5): the before/after diff attributes
+    any RDD persisted between the two snapshots to this tracker, so a
+    SparkSession shared with CONCURRENT jobs could see another thread's
+    blocks unpersisted.  Fine for the current sequential driver use; guard
+    with a session-level lock before running pipelines concurrently.
     """
 
     def __init__(self, spark, enabled: bool):

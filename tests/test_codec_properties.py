@@ -9,6 +9,7 @@ in seconds.  Shapes are bounded small; content is unconstrained bytes.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from set_sketch_paper_spark.operators.multimodal import (
@@ -507,3 +508,28 @@ def test_jpeg_progressive_truncation_raises_valueerror(data, frac):
         assert out.shape == (18, 18, 3)  # partial but well-formed decode
     except ValueError:
         pass  # the malformed-media contract
+
+
+def test_progressive_jpeg_readable_by_external_decoder():
+    """ADVICE r5: self-roundtrip cannot catch complementary encoder/decoder
+    deviations from T.81 Annex G — cross-check encode_jpeg_progressive
+    against an independent decoder (pillow) when one is available, mirroring
+    how the other codecs gate on optional libraries."""
+    PIL_Image = pytest.importorskip("PIL.Image", reason="pillow not installed")
+    import io
+
+    from set_sketch_paper_spark.operators.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.RandomState(42)
+    # smooth gradient + mild noise: spectrally realistic, high-PSNR regime
+    y, x = np.mgrid[0:40, 0:56]
+    img = (96 + 60 * np.sin(x / 9.0) + 40 * np.cos(y / 7.0) + rng.randint(-4, 5, (40, 56))).clip(0, 255)
+    rgb = np.stack([img, np.roll(img, 3, axis=1), 255 - img], axis=-1).astype(np.uint8)
+    payload = encode_jpeg_progressive(rgb, quality=90)
+    ours = decode_jpeg(payload).astype(np.int64)
+    theirs = np.asarray(PIL_Image.open(io.BytesIO(payload)).convert("RGB"), dtype=np.int64)
+    assert theirs.shape == ours.shape
+    # both decoders read the same spectral content: tiny max divergence
+    # (IDCT rounding differences only) and near-identical pixels overall
+    assert np.abs(ours - theirs).max() <= 4
+    assert np.mean(np.abs(ours - theirs)) < 1.0
