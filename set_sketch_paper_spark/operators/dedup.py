@@ -572,6 +572,16 @@ def lcs_substring_pairs(
     (ngram_jaccard_pairs' shuffle-bytes argument); a hash collision can only
     seed a length-1 island, invisible unless min_len == L.
 
+    APPROXIMATION BOUND of ``gram_cap`` (ADVICE r5): exactness is relative
+    to the CAPPED gram index — L-grams occurring at more than ``gram_cap``
+    corpus positions are excluded, which can split runs through boilerplate
+    regions and undercount max_shared_len/n_spans versus an uncapped oracle
+    (the DuckDB twin shares no cap; the default cap sits above every test
+    corpus' max frequency so oracle parity holds at the checked SFs).
+    Production callers thresholding through heavy boilerplate should either
+    raise the cap or route hot regions to the winnowing/doc_internal_repeats
+    boilerplate path, as with shared_key_pair_counts' skipped-key report.
+
     Reference parity: set-sketch-paper evaluates Jaccard over shingle sets
     (sketch.hpp registerValue/joint estimation); this operator is the
     exact-substring analog its substring-level dedup pass needs at corpus
