@@ -350,6 +350,72 @@ def _ivf_ranked_cells(df: DataFrame, cents_row: DataFrame) -> DataFrame:
     )
 
 
+def _cell_topk_kernel(k: int, cell_cap: int):
+    """applyInPandas kernel for ONE IVF cell: rows are the cell's MEMBERS
+    (is_probe false) plus the PROBE entries of queries probing this cell
+    (is_probe true; a vector probing its own cell appears as both).  Emits,
+    per probe, a margin superset of its within-cell top-k against the
+    members, with exact integer dot/norms — the same proof and zero-norm
+    handling as _bucket_topk_kernel (a probe's global top-k candidate
+    excluded here would need k strictly-better members in THIS cell, which
+    already rules it out globally).  Cells with more than ``cell_cap``
+    members emit nothing (the degenerate-cell skew guard, as before)."""
+    import numpy as np
+    import pandas as pd
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "query_id": np.empty(0, np.int64),
+            "neighbor_id": np.empty(0, np.int64),
+            "dot": np.empty(0, np.int64),
+            "qnorm": np.empty(0, np.int64),
+            "cnorm": np.empty(0, np.int64),
+        }
+        probe_mask = pdf["is_probe"].to_numpy(bool)
+        mem = pdf[~probe_mask]
+        prb = pdf[probe_mask]
+        m, p = len(mem), len(prb)
+        if m == 0 or p == 0 or m > cell_cap:
+            return pd.DataFrame(empty)
+        mids = mem["_id"].to_numpy(np.int64)
+        mnorm = mem["norm"].to_numpy(np.int64)
+        MV = np.vstack([np.asarray(v, np.float64) for v in mem["qv"]])
+        qids = prb["_id"].to_numpy(np.int64)
+        qnorm = prb["norm"].to_numpy(np.int64)
+        QV = np.vstack([np.asarray(v, np.float64) for v in prb["qv"]])
+        zm = mnorm == 0
+        z = int(zm.sum())
+        D = QV @ MV.T  # exact integer dots (< 2^53)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.sqrt((qnorm[:, None] * mnorm[None, :]).astype(np.float64))
+            U = (1e6 * D) / denom
+        selfm = qids[:, None] == mids[None, :]
+        U[selfm] = -np.inf  # counted finite (can only widen the superset)
+        if m - z > k:
+            pos = m - z - k
+            thr = np.partition(U, pos, axis=1)[:, pos] - 2.0
+        else:
+            thr = np.full(p, -np.inf)
+        with np.errstate(invalid="ignore"):
+            mask = U >= thr[:, None]
+        if z:
+            mask |= zm[None, :]
+        mask[qnorm == 0, :] = True  # zero-norm probes: Spark decides exactly
+        mask &= ~selfm
+        qi, nj = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "query_id": qids[qi],
+                "neighbor_id": mids[nj],
+                "dot": D[qi, nj].astype(np.int64),
+                "qnorm": qnorm[qi],
+                "cnorm": mnorm[nj],
+            }
+        )
+
+    return kern
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     k: int = 10,
@@ -401,37 +467,31 @@ def ivf_ann_topk(
     # blocks when unreachable (same rationale as _coded).
     ranked = _ivf_ranked_cells(base, cents_row).localCheckpoint(eager=True)
 
+    # members + probe entries shuffled ONCE into per-cell groups and scored
+    # by the BLAS kernel (guide §4.2) — replaces the cell equi-join +
+    # per-candidate interpreted dot + full-candidate window of the join
+    # form.  No cross-cell dedup is needed: each neighbor belongs to
+    # exactly ONE cell and a query's probed cells are distinct, so every
+    # (query, neighbor) is emitted at most once.
     members = ranked.select(
-        F.col("_id").alias("neighbor_id"), F.element_at("_cells", 1).alias("cell")
-    )
-    sizes = members.groupBy("cell").agg(F.count(F.lit(1)).alias("_csz"))
-    members_ok = (
-        members.join(F.broadcast(sizes), "cell")
-        .filter(F.col("_csz") <= cell_cap)
-        .drop("_csz")
+        "_id", "qv", "norm",
+        F.element_at("_cells", 1).alias("cell"), F.lit(False).alias("is_probe"),
     )
     probe_src = ranked
     if queries is not None:
         qids = queries.select(F.col(id_col).alias("_id"))
         probe_src = ranked.join(qids, "_id", "semi")
     probes = probe_src.select(
-        F.col("_id").alias("query_id"),
+        "_id", "qv", "norm",
         F.explode(F.slice("_cells", 1, n_probe)).alias("cell"),
+        F.lit(True).alias("is_probe"),
     )
-    # no dedup needed (unlike the multi-table LSH path): each neighbor
-    # belongs to exactly ONE cell and a query's probed cells are distinct,
-    # so the cell equi-join emits every (query, neighbor) at most once —
-    # a dropDuplicates here would be a pointless full-candidate shuffle
-    cand = (
-        probes.join(members_ok, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
+    cand = members.unionByName(probes).groupBy("cell").applyInPandas(
+        _cell_topk_kernel(k, cell_cap),
+        schema="query_id long, neighbor_id long, dot long, qnorm long, cnorm long",
     )
-    vecs = ranked.select("_id", "qv", "norm")
-    scored = (
-        _join_vectors(cand, vecs, "query_id", "neighbor_id")
-        .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
-        .withColumn("cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm")))
+    scored = cand.withColumn(
+        "cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
     return (
