@@ -318,8 +318,22 @@ def ngram_jaccard_pairs(
             ).otherwise(F.concat_ws("", "t"))
         ).alias("g"),
     )
-    d = rawg.dropDuplicates(["_id", "g"])  # per-doc DISTINCT grams
-    freq = d.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+    # per-doc DISTINCT grams in ONE shuffle: collect_set fuses the dedup
+    # with the per-doc grouping, and the eager checkpoint stops the whole
+    # gram-construction subtree being planned (and codegen'd, and run)
+    # TWICE — once under freq, once under the per_doc join — which the
+    # formatted plan showed for the dropDuplicates form (two full
+    # scan->Generate->dedup chains; cold 11.9s vs 4.3s at sf1.0-scale,
+    # warm parity).  Each doc's grams arrive in one task, so the map-side
+    # partial already holds the full set; per-group state is bounded by
+    # document length.
+    darr = (
+        rawg.groupBy("_id")
+        .agg(F.collect_set("g").alias("_gset"))
+        .localCheckpoint(eager=True)
+    )
+    dx = darr.select("_id", F.explode("_gset").alias("g"))
+    freq = dx.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
 
     # integer ceil(n*num/den) — exact, no float division
     def _tau(n_col):
@@ -332,7 +346,7 @@ def ngram_jaccard_pairs(
     # count n (hot included), the rarity-sorted non-hot hash array (verify
     # side), and its prefix (candidate side) — no corpus-wide window
     per_doc = (
-        d.join(freq, "g")
+        dx.join(freq, "g")
         .groupBy("_id")
         .agg(F.collect_list(F.struct(F.col("f"), F.col("g"))).alias("fg"))
         .withColumn("n", F.size("fg"))
@@ -368,34 +382,74 @@ def ngram_jaccard_pairs(
     buckets = pref.groupBy("g").agg(
         F.collect_list(F.struct(F.col("_id").alias("id"), F.col("n").alias("n"))).alias("xs")
     )
-    # no cap needed here: a prefix bucket is at most f <= gram_cap entries
-    pair_expr = F.explode(
-        F.expr(
-            "flatten(transform(xs, (x, i) -> "
-            "filter(transform(slice(xs, i + 2, size(xs)), y -> struct("
-            "least(x.id, y.id) as id1, greatest(x.id, y.id) as id2, "
-            "if(x.id < y.id, x.n, y.n) as n1, if(x.id < y.id, y.n, x.n) as n2)), "
-            f"p -> {threshold_den} * least(p.n1, p.n2) >= {threshold_num} * greatest(p.n1, p.n2))))"
-        )
-    ).alias("p")
-    cand = (
+    # no cap needed here: a prefix bucket is at most f <= gram_cap entries.
+    # Flat double-explode + per-row projection, NOT the nested
+    # flatten(transform(..filter(transform(slice..)))) form: with these
+    # small (~avg-doc-frequency-sized) bucket arrays the interpreted
+    # lambda chain measured 2x slower end-to-end at sf1.0-scale (expansion
+    # alone 3.0-6.4s vs 1.2-1.5s; candidates 10.6s vs 5s median) — the
+    # same non-codegen-Generate lesson as the gram construction above.
+    # (lsh._expand_buckets measured the OPPOSITE for its up-to-band_cap=500
+    # arrays: shape choice is per-site, by measurement.)
+    #
+    # The counting aggregate carries ONLY the 16-byte (id1, id2) key —
+    # n1/n2 are functionally dependent on the ids and re-attach from the
+    # checkpointed per_doc at candidate scale.  The exact count filter
+    # needs tau(n1)/tau(n2), so the aggregate first applies the RELAXED
+    # bound qlo = min(prefix_q, min-over-docs tau(n)) — provably <= every
+    # pair's min(prefix_q, tau1, tau2), so no output pair is lost — and the
+    # exact per-pair filter runs after the n re-attach on the few
+    # survivors.  Narrowing the hash key this way measured 5.2s -> 4.3s
+    # warm (18.8 -> 6.5 cold) on the 116M-pair-row sf1.0-scale aggregate.
+    # The one-row qlo aggregate runs on the already-checkpointed per_doc
+    # (same trivial-collect pattern as the CC convergence counts).
+    qlo_row = per_doc.agg(
+        F.least(F.lit(prefix_q), F.min(_tau(F.col("n")))).alias("qlo")
+    ).collect()
+    qlo = qlo_row[0]["qlo"]
+    if qlo is None:  # empty input: no pairs regardless
+        qlo = min_shared
+    expand = (
         buckets.filter(F.size("xs") >= 2)
-        .select(pair_expr)
-        .select("p.id1", "p.id2", "p.n1", "p.n2")
+        .select("xs", F.explode(F.expr("sequence(1, size(xs) - 1)")).alias("i"))
+        .select("xs", "i", F.explode(F.expr("sequence(i + 1, size(xs))")).alias("j"))
+        .select(F.expr("xs[i-1]").alias("x"), F.expr("xs[j-1]").alias("y"))
+        .filter(
+            F.lit(threshold_den) * F.least("x.n", "y.n")
+            >= F.lit(threshold_num) * F.greatest("x.n", "y.n")
+        )
+    )
+    cand = (
+        expand.select(
+            F.least("x.id", "y.id").alias("id1"),
+            F.greatest("x.id", "y.id").alias("id2"),
+        )
         .filter(F.col("id1") != F.col("id2"))
-        .groupBy("id1", "id2", "n1", "n2")
+        .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("_shared_pref"))
+        .filter(F.col("_shared_pref") >= F.lit(qlo))
+    )
+
+    # one per-side join re-attaches n AND the verify array together; the
+    # exact prefix-count filter then runs on the qlo survivors before the
+    # exact intersection
+    out = (
+        cand.join(
+            per_doc.select(
+                F.col("_id").alias("id1"), F.col("n").alias("n1"), F.col("garr").alias("gs1")
+            ),
+            "id1",
+        )
+        .join(
+            per_doc.select(
+                F.col("_id").alias("id2"), F.col("n").alias("n2"), F.col("garr").alias("gs2")
+            ),
+            "id2",
+        )
         .filter(
             F.col("_shared_pref")
             >= F.least(F.lit(prefix_q), _tau(F.col("n1")), _tau(F.col("n2")))
         )
-        .select("id1", "id2", "n1", "n2")
-    )
-
-    # exact verification on the per-doc non-hot gram-hash arrays
-    out = (
-        cand.join(per_doc.select(F.col("_id").alias("id1"), F.col("garr").alias("gs1")), "id1")
-        .join(per_doc.select(F.col("_id").alias("id2"), F.col("garr").alias("gs2")), "id2")
         .withColumn("inter_count", F.size(F.array_intersect("gs1", "gs2")))
         .filter(F.col("inter_count") >= min_shared)
         .withColumn("union_count", F.col("n1") + F.col("n2") - F.col("inter_count"))
