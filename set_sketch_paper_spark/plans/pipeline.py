@@ -220,11 +220,23 @@ class NearDupPipeline:
         )
         return out
 
-    def _stage(self, spark: SparkSession, name: str, build) -> DataFrame:
+    def _stage(self, spark: SparkSession, name: str, build, materialize: bool = True) -> DataFrame:
         resumed = self._try_resume(spark, name)
         if resumed is not None:
             self.metrics.append(StageMetrics(name, -1, 0.0, True, resumed.rdd.getNumPartitions()))
             return resumed.drop("_stage", "_config_hash", "_run_id")
+        if not materialize and not self._stage_dir(name):
+            # in-memory mode only: a stage consumed exactly once downstream
+            # needs no checkpoint barrier — materializing it is one extra
+            # job + plan (codegen) per run for data the next stage's build
+            # re-reads immediately.  With a checkpoint_dir the stage still
+            # persists to parquet (the resume/lineage contract is
+            # unchanged); its cost is then timed inside the consuming
+            # stage's metrics entry.
+            t0 = time.time()
+            out = build()
+            self.metrics.append(StageMetrics(name, -1, time.time() - t0, False, -1))
+            return out
         t0 = time.time()
         jsc = spark.sparkContext._jsc
         before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
@@ -288,6 +300,8 @@ class NearDupPipeline:
             spark,
             "candidates",
             lambda: lsh_ops.candidate_pairs(signatures, self.pcfg.lsh, id_col="file_id"),
+            # consumed exactly once (verified_pairs' join input); see _stage
+            materialize=False,
         )
 
         est_udf = make_minhash_pair_estimator_udf(self.pcfg.minhash, "original")

@@ -63,12 +63,14 @@ def test_pipeline_stage_sweep_and_release_cache(spark):
     result = NearDupPipeline(pcfg).run(files, id_cols=("repo", "path", "commit"))
     n_clusters = result.clusters.count()
     assert n_clusters == 300
-    # after run(): exactly the 5 stage checkpoints survive — CC internals
-    # were swept by the clusters stage
+    # after run(): exactly the 4 stage checkpoints survive (identity,
+    # signatures, verified_pairs, clusters — candidates is consumed once
+    # and no longer materialized in in-memory mode); CC internals were
+    # swept by the clusters stage
     ours = _persistent_ids(spark) - base
-    assert len(ours) == 5, ours
+    assert len(ours) == 4, ours
     freed = result.release_cache()
-    assert freed == 5
+    assert freed == 4
     assert not (_persistent_ids(spark) & ours)
     # idempotent
     assert result.release_cache() == 0
