@@ -185,50 +185,33 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     High values flag boilerplate / template / spam documents that survive
     exact and near dedup (they repeat *internally*, not across docs).
 
-    All pure built-in array expressions (whole-stage codegen, zero Python,
-    zero shuffles — per-row bounded compute, embarrassingly parallel at any
-    scale).  The per-row cost of the top-frequency terms is
-    O(distinct × n_tokens); documents are bounded (chunk upstream if not).
-    Quantization via _q6 keeps results bit-equal to the DuckDB oracle.
-    NULL text is treated as empty (size(NULL) = -1 would otherwise poison
-    every ratio's denominator).
+    ONE Arrow pass per partition (make_repetition_stats_udf): map-only,
+    zero shuffles, O(n_tokens) per row.  The previous pure-expression form
+    computed the top-frequency terms with nested interpreted higher-order
+    lambdas whose inner ``toks`` reference re-evaluated split(text) per
+    distinct token (interpreted eval has no common-subexpression
+    elimination) — O(distinct x n_tokens x |text|) per row, measured ~900 s
+    single-task at sf1.0 scale whenever the columns were actually
+    materialized (count() column-pruning had hidden the cost from the
+    bench).  The UDF mirrors the exact integer/_q6 arithmetic
+    (hand-computed cases + the sf0.01 oracle hash pin the bit-identity).
+    NULL text is treated as empty.
     """
-    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    n = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    # bigram i joins token i and i+1 (element_at is 1-based; transform's
-    # lambda index is 0-based)
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
-    )
-    nb = F.size(bigrams)
-    nb_distinct = F.size(F.array_distinct(bigrams))
-    top_tok = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            )
-        ),
-        F.lit(0),
-    )
-    top_big = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(bigrams),
-                lambda t: F.size(F.filter(bigrams, lambda x: x == t)),
-            )
-        ),
-        F.lit(0),
-    )
-    nb_safe = F.greatest(nb, F.lit(1))
+    from ..functions.textstats_udfs import make_repetition_stats_udf
+    from ..operators.signatures import widen_if_narrow
+
+    # asNondeterministic stops the optimizer duplicating the UDF around the
+    # 5 struct-field projections (two ArrowEvalPython nodes otherwise)
+    s = make_repetition_stats_udf().asNondeterministic()(F.col(text_col))
     return (
-        df.withColumn("n_tokens", n)
-        .withColumn("dup_token_q", _q6(n - n_distinct, n))
-        .withColumn("top_token_q", _q6(top_tok, n))
-        .withColumn("dup_bigram_q", _q6(nb - nb_distinct, nb_safe))
-        .withColumn("top_bigram_q", _q6(top_big, nb_safe))
+        widen_if_narrow(df)
+        .withColumn("_rs", s)
+        .withColumn("n_tokens", F.col("_rs.n_tokens"))
+        .withColumn("dup_token_q", F.col("_rs.dup_token_q"))
+        .withColumn("top_token_q", F.col("_rs.top_token_q"))
+        .withColumn("dup_bigram_q", F.col("_rs.dup_bigram_q"))
+        .withColumn("top_bigram_q", F.col("_rs.top_bigram_q"))
+        .drop("_rs")
     )
 
 
