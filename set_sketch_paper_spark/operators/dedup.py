@@ -663,17 +663,6 @@ def lcs_substring_pairs(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).filter(F.length("_t") >= L)
 
-    # per-doc gram-hash arrays, map-side only (gs[i] = xxhash64 of the gram
-    # at 1-based char position i+1 — identical values to the old exploded
-    # index); shuffled only for the few candidate pairs below
-    gs = t.select(
-        "_id",
-        F.expr(
-            f"transform(sequence(1, length(_t) - {L} + 1), "
-            f"i -> xxhash64(substring(_t, i, {L}))) as gs"
-        ),
-    )
-
     # corpus-wide hot grams (> gram_cap occurrences) as ONE broadcastable
     # row.  Shape note: explode the POSITION sequence and hash per row —
     # exploding a pre-built transform() array goes through a non-codegen
@@ -702,7 +691,39 @@ def lcs_substring_pairs(
         )
         .select("_id", F.expr(f"xxhash64(substring(_t, i, {min_len}))").alias("g"))
     )
-    cand = shared_key_pair_counts(fp, gram_cap, 1).select("id1", "id2")
+    # checkpointed: consumed twice (the candidate-doc semi-join key set and
+    # the pair join below)
+    cand = (
+        shared_key_pair_counts(fp, gram_cap, 1)
+        .select("id1", "id2")
+        .localCheckpoint(eager=True)
+    )
+
+    # per-doc gram-hash arrays (gs[i] = xxhash64 of the gram at 1-based
+    # char position i+1 — identical values to the old exploded index),
+    # built ONLY for documents that appear in a candidate pair and ONCE:
+    # the interpreted transform costs ~1 hash per corpus character, and the
+    # previous shape evaluated it over the FULL corpus in BOTH join
+    # subtrees (two Projects upstream of the id1/id2 joins) — 28M
+    # interpreted xxhash64 calls at sf1.0 scale for arrays of which only
+    # the candidate docs' are ever read.  The semi-join keeps it at
+    # candidate-doc scale and the checkpoint makes it single-evaluation.
+    cand_ids = (
+        cand.select(F.col("id1").alias("_id"))
+        .union(cand.select(F.col("id2").alias("_id")))
+        .distinct()
+    )
+    gs = (
+        t.join(cand_ids, "_id", "left_semi")
+        .select(
+            "_id",
+            F.expr(
+                f"transform(sequence(1, length(_t) - {L} + 1), "
+                f"i -> xxhash64(substring(_t, i, {L}))) as gs"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
 
     # pass 2: exact diagonal-run scan per candidate pair.  The one-row hot
     # list rides a dummy-key BROADCAST HASH join (an actual crossJoin would
