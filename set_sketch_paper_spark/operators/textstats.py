@@ -198,13 +198,15 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     NULL text is treated as empty.
     """
     from ..functions.textstats_udfs import make_repetition_stats_udf
-    from ..operators.signatures import widen_if_narrow
 
     # asNondeterministic stops the optimizer duplicating the UDF around the
-    # 5 struct-field projections (two ArrowEvalPython nodes otherwise)
+    # 5 struct-field projections (two ArrowEvalPython nodes otherwise).
+    # No widen_if_narrow: this operator keeps the map-only zero-Exchange
+    # contract (test_plans pins it); the Counter pass is O(n_tokens)/row,
+    # cheap enough that narrow local scans don't need rescue.
     s = make_repetition_stats_udf().asNondeterministic()(F.col(text_col))
     return (
-        widen_if_narrow(df)
+        df
         .withColumn("_rs", s)
         .withColumn("n_tokens", F.col("_rs.n_tokens"))
         .withColumn("dup_token_q", F.col("_rs.dup_token_q"))
