@@ -701,28 +701,27 @@ def lcs_substring_pairs(
 
     # per-doc gram-hash arrays (gs[i] = xxhash64 of the gram at 1-based
     # char position i+1 — identical values to the old exploded index),
-    # built ONLY for documents that appear in a candidate pair and ONCE:
-    # the interpreted transform costs ~1 hash per corpus character, and the
+    # built ONLY for documents that appear in a candidate pair: the
+    # interpreted transform costs ~1 hash per corpus character, and the
     # previous shape evaluated it over the FULL corpus in BOTH join
     # subtrees (two Projects upstream of the id1/id2 joins) — 28M
     # interpreted xxhash64 calls at sf1.0 scale for arrays of which only
-    # the candidate docs' are ever read.  The semi-join keeps it at
-    # candidate-doc scale and the checkpoint makes it single-evaluation.
+    # the candidate docs' are ever read.  The semi-join keeps both
+    # evaluations at candidate-doc scale (an eager checkpoint here was
+    # measured NO faster at either scale and costs one extra job — the
+    # two subtree evaluations over the small doc subset are cheaper than
+    # the materialization barrier).
     cand_ids = (
         cand.select(F.col("id1").alias("_id"))
         .union(cand.select(F.col("id2").alias("_id")))
         .distinct()
     )
-    gs = (
-        t.join(cand_ids, "_id", "left_semi")
-        .select(
-            "_id",
-            F.expr(
-                f"transform(sequence(1, length(_t) - {L} + 1), "
-                f"i -> xxhash64(substring(_t, i, {L}))) as gs"
-            ),
-        )
-        .localCheckpoint(eager=True)
+    gs = t.join(cand_ids, "_id", "left_semi").select(
+        "_id",
+        F.expr(
+            f"transform(sequence(1, length(_t) - {L} + 1), "
+            f"i -> xxhash64(substring(_t, i, {L}))) as gs"
+        ),
     )
 
     # pass 2: exact diagonal-run scan per candidate pair.  The one-row hot
