@@ -151,3 +151,27 @@ def test_lsh_hot_band_salt_mode(spark):
     assert len(hot_pairs) < 66
     with pytest.raises(ValueError):
         candidate_pairs(df, lsh_cfg, hot_mode="bogus")
+
+
+def test_ngram_qlo_prefilter_edge_inputs(spark):
+    """The r6 ids-only candidate aggregate prefilters on qlo =
+    min(prefix_q, min-doc tau) before the exact per-pair count filter.
+    Pin the degenerate inputs around that scalar: an empty corpus (the
+    min aggregate returns no tau — qlo falls back without error), a
+    single doc, and a corpus of tiny docs where tau < prefix_q so qlo
+    collapses below the prefix_q default."""
+    from set_sketch_paper_spark.operators.dedup import ngram_jaccard_pairs
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_jaccard_pairs(empty).count() == 0
+
+    one = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    assert ngram_jaccard_pairs(one).count() == 0
+
+    # tiny docs: 4 tokens -> 2 distinct 3-grams -> tau = 1 < prefix_q = 5;
+    # the identical pair must survive the qlo-relaxed count path
+    tiny = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "w x y z")], ["doc_id", "text"]
+    )
+    rows = {(r["id1"], r["id2"]): r["jaccard_q"] for r in ngram_jaccard_pairs(tiny).collect()}
+    assert rows == {(1, 2): 1_000_000}

@@ -138,3 +138,29 @@ def test_score_quantiles_matches_brute_force(spark):
         assert got[g]["n_docs"] == len(vals)
         for label, num, den in ((10, 1, 10), (25, 1, 4), (50, 1, 2), (75, 3, 4), (90, 9, 10)):
             assert got[g][f"p{label}_q"] == disc(vals, num, den), (g, label)
+
+
+def test_repetition_stats_arrow_udf_edges(spark):
+    """The r6 Arrow rewrite of with_repetition_stats must keep the exact
+    expression-form semantics on the edge inputs: NULL text behaves as
+    empty, split keeps interior/trailing empty tokens (multi-space), and
+    the single-token guard zeroes the bigram terms."""
+    from set_sketch_paper_spark.operators.textstats import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a  b"), (3, "x x")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    # NULL -> '' -> split gives [''] : 1 token, top covers it fully
+    for d in (0, 1):
+        r = got[d]
+        assert (r["n_tokens"], r["dup_token_q"], r["top_token_q"],
+                r["dup_bigram_q"], r["top_bigram_q"]) == (1, 0, 1_000_000, 0, 0)
+    # 'a  b' -> ['a','','b']: 3 distinct tokens, 2 distinct bigrams
+    r = got[2]
+    assert (r["n_tokens"], r["dup_token_q"], r["top_token_q"]) == (3, 0, 333_333)
+    assert (r["dup_bigram_q"], r["top_bigram_q"]) == (0, 500_000)
+    # 'x x': 2 tokens 1 distinct; bigram 'x x' once
+    r = got[3]
+    assert (r["n_tokens"], r["dup_token_q"], r["top_token_q"]) == (2, 500_000, 1_000_000)
+    assert (r["dup_bigram_q"], r["top_bigram_q"]) == (0, 1_000_000)
