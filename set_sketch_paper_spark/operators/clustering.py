@@ -151,19 +151,25 @@ def connected_components(
     Includes every vertex that appears in the edge list (callers union in
     isolated vertices as their own singleton clusters if needed).
 
-    Size-adaptive fast path (r6, guide §1.2/§2.4): after the one-shuffle
-    symmetric dedup, if the edge set fits a single task
-    (<= ``small_graph_edges``), the components are solved by ONE
-    executor-side union-find (applyInPandas on a constant key) instead of a
-    multi-round distributed loop — a verified near-dup edge set is orders
-    of magnitude smaller than its corpus, and each loop round costs two
-    shuffles plus a materialization barrier that dwarf a small graph's
-    actual work (measured: the sf1.0 flagship's cluster stage dropped
-    7-9s -> ~1s).  Labels are identical (union-by-min root == min-label
-    fixed point; asserted against the loop in tests/test_clustering.py).
+    Size-adaptive fast path (r6, guide §1.2/§2.4): if the RAW edge list
+    fits a single task (count <= ``small_graph_edges``), the components are
+    solved by ONE executor-side union-find (applyInPandas on a constant
+    key) instead of a multi-round distributed loop — a verified near-dup
+    edge set is orders of magnitude smaller than its corpus, and each loop
+    round costs two shuffles plus a materialization barrier that dwarf a
+    small graph's actual work (measured: the sf1.0 flagship's cluster
+    stage dropped 7-9s -> ~1s).  The fast path consumes the raw edges
+    directly: union-find is invariant under duplicate/reversed edges, so
+    the symmetric dedup shuffle + localCheckpoint the loop needs are
+    skipped entirely (second r6 step: ~0.5s warm + one plan off the cold
+    path).  Labels are identical (union-by-min root == min-label fixed
+    point; asserted against the loop in tests/test_clustering_star.py).
     Beyond the threshold the pointer-jumping loop below runs unchanged —
     at 100 TB both paths matter: the loop for genuinely huge edge sets,
-    the fast path for the common post-verification graph.
+    the fast path for the common post-verification graph.  The decision
+    count is one aggregate-only pass over the edge subtree (no shuffle, no
+    materialization); callers whose edge lineage is expensive to recompute
+    should checkpoint it first (the pipeline's inputs already are).
 
     Per round: ONE neighborhood-min shuffle + ONE jump join, materialized
     once; the convergence test rides the materialized frame (the old label
@@ -180,14 +186,15 @@ def connected_components(
     partial labels (every label is still a genuine reachable id — only the
     minimality is unfinished).
     """
-    trk = _RoundBlockTracker(edges.sparkSession, enabled=not reliable)
-    sym = trk.materialize(_symmetric_dedup(edges.select("id1", "id2")), reliable, pin=True)
-    if sym.count() <= 2 * small_graph_edges:  # sym carries both directions
+    e2 = edges.select("id1", "id2")
+    if e2.count() <= small_graph_edges:
         return (
-            sym.withColumn("_g", F.lit(0))
+            e2.withColumn("_g", F.lit(0))
             .groupBy("_g")
             .applyInPandas(_unionfind_partition, "id long, cluster_id long")
         )
+    trk = _RoundBlockTracker(edges.sparkSession, enabled=not reliable)
+    sym = trk.materialize(_symmetric_dedup(e2), reliable, pin=True)
     labels = trk.materialize(
         sym.groupBy(F.col("id1").alias("id"))
         .agg(F.min("id2").alias("nmin"))
