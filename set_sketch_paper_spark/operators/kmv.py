@@ -309,14 +309,21 @@ def kmv_distinct(
     states per key it holds; stage 2 is ONE groupBy(keys) whose merge is
     pure built-in array algebra (kmv_merge_col).  Feed the result to
     with_kmv_estimate for (n_sk, kth_v, est_q)."""
+    from ..operators.signatures import widen_if_narrow
+
     keys = [keys] if isinstance(keys, str) else list(keys)
+    # Project to (keys, value) FIRST, then widen, then hash: widening the
+    # RAW frame was tried and reverted in r6 (the repartition carried every
+    # event column — 2.6-3.0s unwidened vs 3.5-8.0s widened at sf1.0), but
+    # shuffling just the two join-relevant columns is ~25 MB at sf1.0 and
+    # unserializes the md5 pass from the 1-row-group scan: same-session A/B
+    # 3.4-5.8s -> 2.4-3.9s under load, parity on a quiet box, rows
+    # identical.  At cluster scale wide scans make the guard a no-op
+    # (guide §2.3: project before the exchange).
+    slim = widen_if_narrow(df.select(*keys, F.col(value_col).alias("__v")))
     # NULL values are not elements of the distinct set (and would poison the
-    # int64 partial arrays); the SQL oracle filters identically.  No widen
-    # guard here (unlike the signature/ANN python stages): the per-row work
-    # is one hash compare, so an A/B at sf1.0 showed the repartition
-    # shuffle costs more than the extra parallelism buys (2.6-3.0s unwidened
-    # vs 3.5-8.0s widened on a 4-partition 1M-row scan).
-    hashed = df.select(*keys, kmv_hash_col(value_col).alias("__h")).filter(
+    # int64 partial arrays); the SQL oracle filters identically.
+    hashed = slim.select(*keys, kmv_hash_col("__v").alias("__h")).filter(
         F.col("__h").isNotNull()
     )
     schema = ", ".join(
